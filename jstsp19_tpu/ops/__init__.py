@@ -1,0 +1,4 @@
+from jstsp19_tpu.ops.base import LinOp, MatrixOp, ScaledOp, ComposedOp  # noqa: F401
+from jstsp19_tpu.ops.kron import KronDictOp  # noqa: F401
+from jstsp19_tpu.ops.masked import MaskOp, DiagOp  # noqa: F401
+from jstsp19_tpu.ops.fourier import DFTOp, FWHTOp, fwht, ToeplitzOp  # noqa: F401

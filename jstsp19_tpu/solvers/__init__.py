@@ -1,0 +1,15 @@
+from jstsp19_tpu.solvers.lowrank import svt, mc_svt, mc_admm  # noqa: F401
+from jstsp19_tpu.solvers.sparse import soft_threshold, sparse_admm  # noqa: F401
+from jstsp19_tpu.solvers.admm import (  # noqa: F401
+    proposed_admm,
+    proposed_admm_angles,
+    admm_hyperparams,
+)
+from jstsp19_tpu.solvers.lsq import ls_estimate  # noqa: F401
+from jstsp19_tpu.solvers.omp import omp, omp_mmv, cosamp  # noqa: F401
+from jstsp19_tpu.solvers.estim import (  # noqa: F401
+    CAwgnPrior,
+    SparsePrior,
+    CAwgnLikelihood,
+)
+from jstsp19_tpu.solvers.vamp import vamp_glm, vamp_mmwave  # noqa: F401

@@ -1,0 +1,131 @@
+"""Greedy pursuit: OMP (single & MMV) and CoSaMP.
+
+The reference uses ``benchmark_algorithms/OMP.m`` plus the external
+sparse-plex ``spx.pursuit.single/joint.OrthogonalMatchingPursuit``
+(``plot_errorVSsnr.m:116-121``); CoSaMP exists at
+``MPbased_solvers/neural/connectivity/cosamp.m``.  TPU-native versions:
+fixed-m ``lax.fori_loop`` with static shapes, support tracked as index
+arrays + masks (no dynamic growth), LS refit via a masked-Gram Cholesky
+solve (identity padding on unused slots), all batchable under ``vmap``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _masked_ls(AhA_sel, Ahv_sel, active):
+    """Solve (Gram over selected atoms) x = rhs with identity padding on
+    inactive slots.  AhA_sel: (m, m), Ahv_sel: (m, ...), active: (m,) bool."""
+    m = AhA_sel.shape[0]
+    eye = jnp.eye(m, dtype=AhA_sel.dtype)
+    mask2 = active[:, None] & active[None, :]
+    G = jnp.where(mask2, AhA_sel, eye)
+    amask = active[:, None] if Ahv_sel.ndim == 2 else active
+    return jnp.linalg.solve(G, Ahv_sel * amask)
+
+
+class OmpResult(NamedTuple):
+    x: jnp.ndarray  # (n,) or (n, T) sparse estimate
+    support: jnp.ndarray  # (m,) selected atom indices (int32)
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def omp(A: jnp.ndarray, v: jnp.ndarray, m: int) -> OmpResult:
+    """Single-vector Orthogonal Matching Pursuit with target sparsity m.
+
+    Mirrors ``OMP.m:16-32`` (greedy argmax of |Aᴴr|, LS refit on the
+    selected atoms, residual update) with static shapes: the selected-atom
+    Gram is assembled by gather from the precomputed full Gram.
+    """
+    M, n = A.shape
+    AhA = A.conj().T @ A  # (n, n)
+    Ahv = A.conj().T @ v  # (n,)
+
+    def body(t, carry):
+        idx, coef = carry
+        # residual correlations via the Gram: Aᴴr = Aᴴv − AhA[:, idx]·coef
+        corr = Ahv - (AhA[:, idx] * coef[None, :]).sum(-1)
+        # mask out already-selected atoms (only first t slots are valid)
+        slot_valid = jnp.arange(m) < t
+        sel_mask = jnp.zeros((n,), bool).at[jnp.where(slot_valid, idx, n)].set(
+            True, mode="drop"
+        )
+        score = jnp.where(sel_mask, -jnp.inf, jnp.abs(corr))
+        new = jnp.argmax(score).astype(jnp.int32)
+        idx = idx.at[t].set(new)
+        active = jnp.arange(m) <= t
+        Gsel = AhA[idx[:, None], idx[None, :]]
+        coef = _masked_ls(Gsel, Ahv[idx], active)
+        return idx, coef
+
+    idx0 = jnp.zeros((m,), jnp.int32)
+    coef0 = jnp.zeros((m,), A.dtype)
+    idx, coef = jax.lax.fori_loop(0, m, body, (idx0, coef0))
+    x = jnp.zeros((n,), A.dtype).at[idx].add(coef)
+    return OmpResult(x=x, support=idx)
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def omp_mmv(A: jnp.ndarray, V: jnp.ndarray, m: int) -> OmpResult:
+    """Joint-sparsity (MMV) OMP: the ``spx.pursuit.joint`` analog.
+
+    Atoms are scored by the l2 norm of the correlation row across all
+    measurement vectors; the LS refit is joint over columns.
+    A: (M, n), V: (M, T) → x: (n, T).
+    """
+    M, n = A.shape
+    T = V.shape[1]
+    AhA = A.conj().T @ A
+    AhV = A.conj().T @ V  # (n, T)
+
+    def body(t, carry):
+        idx, coef = carry
+        corr = AhV - AhA[:, idx] @ coef  # (n, T)
+        slot_valid = jnp.arange(m) < t
+        sel_mask = jnp.zeros((n,), bool).at[jnp.where(slot_valid, idx, n)].set(
+            True, mode="drop"
+        )
+        score = jnp.where(sel_mask, -jnp.inf, jnp.sum(jnp.abs(corr) ** 2, axis=1))
+        new = jnp.argmax(score).astype(jnp.int32)
+        idx = idx.at[t].set(new)
+        active = jnp.arange(m) <= t
+        Gsel = AhA[idx[:, None], idx[None, :]]
+        coef = _masked_ls(Gsel, AhV[idx], active)
+        return idx, coef
+
+    idx0 = jnp.zeros((m,), jnp.int32)
+    coef0 = jnp.zeros((m, T), A.dtype)
+    idx, coef = jax.lax.fori_loop(0, m, body, (idx0, coef0))
+    X = jnp.zeros((n, T), A.dtype).at[idx].add(coef)
+    return OmpResult(x=X, support=idx)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n_iter"))
+def cosamp(A: jnp.ndarray, v: jnp.ndarray, m: int, n_iter: int = 10) -> jnp.ndarray:
+    """CoSaMP with target sparsity m (capability parity with the toolbox's
+    ``neural/connectivity/cosamp.m``; static-shape top-k throughout).
+    """
+    M, n = A.shape
+    AhA = A.conj().T @ A
+    Ahv = A.conj().T @ v
+
+    def body(_, x):
+        corr = Ahv - AhA @ x
+        # candidate set: current support ∪ top-2m proxies → solve on top-3m mask
+        proxy = jnp.abs(corr)
+        cand = jnp.argsort(-(proxy + (jnp.abs(x) > 0) * (proxy.max() + 1.0)))[
+            : 3 * m
+        ]
+        active = jnp.ones((3 * m,), bool)
+        Gsel = AhA[cand[:, None], cand[None, :]]
+        coef = _masked_ls(Gsel, Ahv[cand], active)
+        full = jnp.zeros((n,), A.dtype).at[cand].add(coef)
+        # prune to m largest
+        keep = jnp.argsort(-jnp.abs(full))[:m]
+        return jnp.zeros((n,), A.dtype).at[keep].set(full[keep])
+
+    return jax.lax.fori_loop(0, n_iter, body, jnp.zeros((n,), A.dtype))
