@@ -79,6 +79,17 @@ class KronDictOp(LinOp):
         d = jnp.maximum(da[:, None], 0.0) * jnp.maximum(db[None, :], 0.0)
         return Ua, Ub, d
 
+    def gram_in_eig(self):
+        """Eigen-factorization of ``K2ᴴ·K2`` (input-domain Gram).
+
+        Returns (Va, Vb, d) with d = outer(da, db) of shape (Gr, K):
+        ``gram(S) = Va·(d ∘ (VaᴴS Vb))·Vbᴴ``.
+        """
+        da, Va = jnp.linalg.eigh(self.A.conj().T @ self.A)
+        db, Vb = jnp.linalg.eigh(self.B @ self.B.conj().T)
+        d = jnp.maximum(da[:, None], 0.0) * jnp.maximum(db[None, :], 0.0)
+        return Va, Vb, d
+
     @staticmethod
     def to_eigbasis(Ua, Ub, Y):
         return Ua.conj().T @ Y @ Ub

@@ -1,0 +1,79 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jstsp19_tpu.solvers import omp, omp_mmv, cosamp
+
+
+def crandn(key, shape):
+    k1, k2 = jax.random.split(key)
+    return (jax.random.normal(k1, shape) + 1j * jax.random.normal(k2, shape)) / np.sqrt(2)
+
+
+def _sparse_problem(key, M=64, n=128, k=5, T=None, snr_db=40.0):
+    kA, kx, ki, kn = jax.random.split(key, 4)
+    A = crandn(kA, (M, n))
+    A = A / jnp.linalg.norm(A, axis=0, keepdims=True)
+    idx = jax.random.choice(ki, n, (k,), replace=False)
+    shape = (k,) if T is None else (k, T)
+    coefs = crandn(kx, shape) * 3.0
+    x = jnp.zeros((n,) if T is None else (n, T), jnp.complex64)
+    x = x.at[idx].set(coefs)
+    y = A @ x
+    noise = crandn(kn, y.shape) * (10 ** (-snr_db / 20))
+    return A, x, y + noise, idx
+
+
+def test_omp_exact_recovery(key):
+    A, x, y, idx = _sparse_problem(key)
+    res = omp(A, y, 5)
+    assert set(np.asarray(res.support)) == set(np.asarray(idx))
+    nmse = np.sum(np.abs(np.asarray(res.x - x)) ** 2) / np.sum(np.abs(np.asarray(x)) ** 2)
+    assert nmse < 1e-3
+
+
+def test_omp_overshoot_sparsity_still_accurate(key):
+    A, x, y, idx = _sparse_problem(key)
+    res = omp(A, y, 10)  # more iterations than true sparsity
+    nmse = np.sum(np.abs(np.asarray(res.x - x)) ** 2) / np.sum(np.abs(np.asarray(x)) ** 2)
+    assert nmse < 1e-2
+
+
+def test_omp_mmv_exact_recovery(key):
+    A, X, Y, idx = _sparse_problem(key, T=8)
+    res = omp_mmv(A, Y, 5)
+    assert set(np.asarray(res.support)) == set(np.asarray(idx))
+    nmse = np.sum(np.abs(np.asarray(res.x - X)) ** 2) / np.sum(np.abs(np.asarray(X)) ** 2)
+    assert nmse < 1e-3
+
+
+def test_omp_mmv_beats_single_at_low_snr(key):
+    A, X, Y, idx = _sparse_problem(key, T=16, snr_db=5.0)
+    res_j = omp_mmv(A, Y, 5)
+    # column-by-column single OMP
+    errs_single = []
+    for t in range(4):
+        r = omp(A, Y[:, t], 5)
+        errs_single.append(
+            np.sum(np.abs(np.asarray(r.x - X[:, t])) ** 2)
+            / np.sum(np.abs(np.asarray(X[:, t])) ** 2)
+        )
+    err_joint = np.sum(np.abs(np.asarray(res_j.x - X)) ** 2) / np.sum(
+        np.abs(np.asarray(X)) ** 2
+    )
+    assert err_joint <= np.mean(errs_single) * 1.2
+
+
+def test_cosamp_recovery(key):
+    A, x, y, idx = _sparse_problem(key, snr_db=30.0)
+    xh = cosamp(A, y, 5, n_iter=15)
+    nmse = np.sum(np.abs(np.asarray(xh - x)) ** 2) / np.sum(np.abs(np.asarray(x)) ** 2)
+    assert nmse < 1e-2
+
+
+def test_omp_jit_vmap(key):
+    A, x, y, idx = _sparse_problem(key)
+    ys = jnp.stack([y, y])
+    out = jax.vmap(lambda v: omp(A, v, 5).x)(ys)
+    assert out.shape == (2, 128)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out[1]), atol=1e-6)
