@@ -1,0 +1,80 @@
+"""Headline benchmark: proposed-ADMM channel estimations per second.
+
+Runs the canonical errorVSsnr configuration (Nt=4, Nr=32, Mr_e=32, Mr=4,
+L=4, T=35, Imax=100 — ``plot_errorVSsnr.m:8-25``) as one compiled batch of
+Monte-Carlo realizations (channel synthesis → random-spatial-sampling HBF →
+proposed ADMM → NMSE) and reports throughput on the available accelerator.
+
+Baseline note: the reference is single-workstation MATLAB with no committed
+runtime numbers; its committed curve artifact for this driver is
+``results/errorVSsnr_angles.fig`` (single realization: Proposed NMSE 0.130 at
+0 dB).  ``vs_baseline`` is measured-throughput / 1.0 est/s — a conservative
+estimate of the MATLAB reference's per-realization runtime at this config
+(Imax=100 iterations, each with a 32×140 complex SVD and 4480×512 kron
+matvecs).  The NMSE parity check against the committed curve is printed to
+stderr alongside.
+
+Output: ONE JSON line on stdout:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from jstsp19_tpu.core import prng
+from jstsp19_tpu.harness.pipeline import PointConfig, realization_errors
+
+MATLAB_EST_PER_SEC_ESTIMATE = 1.0  # see module docstring
+REF_PROPOSED_NMSE_0DB = 0.12998  # errorVSsnr_angles.fig, Proposed @ 0 dB
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    pc = PointConfig(methods=("proposed",))
+    noise_var = jnp.asarray(1.0, jnp.float32)  # SNR 0 dB
+
+    @jax.jit
+    def run(keys, nv):
+        return jax.vmap(lambda k: realization_errors(k, pc, nv))(keys)["proposed"]
+
+    keys = prng.realization_keys(prng.experiment_key(0), 0, batch)
+
+    t0 = time.time()
+    errs = jax.block_until_ready(run(keys, noise_var))
+    compile_and_first = time.time() - t0
+
+    reps = 3
+    best = float("inf")
+    for r in range(reps):
+        keys_r = prng.realization_keys(prng.experiment_key(r + 1), 0, batch)
+        t1 = time.time()
+        errs = jax.block_until_ready(run(keys_r, noise_var))
+        best = min(best, time.time() - t1)
+
+    est_per_sec = batch / best
+    mean_nmse = float(jnp.mean(errs))
+
+    print(
+        f"[bench] device={jax.devices()[0].device_kind} batch={batch} "
+        f"first(incl-compile)={compile_and_first:.2f}s best={best:.3f}s "
+        f"NMSE@0dB={mean_nmse:.4f} (committed ref fig: "
+        f"{REF_PROPOSED_NMSE_0DB:.4f}, single realization)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "proposed_admm_channel_estimations_per_sec",
+                "value": round(est_per_sec, 3),
+                "unit": "estimations/s (canonical errorVSsnr config, Imax=100)",
+                "vs_baseline": round(est_per_sec / MATLAB_EST_PER_SEC_ESTIMATE, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -64,17 +64,22 @@ P_SW = 0.005
 
 
 def power_proposed(Nr: int, Mr_e: int) -> float:
-    """Power draw of the proposed random-spatial-sampling front end.
-
-    ``power = Mr_e·Nr·P_lna + Mr_e·P_sw + Nr·(Mr_e+1)·P_ps``
-    (``plot_ee.m:69-77``).
-    """
+    """Power draw of the proposed random-spatial-sampling front end:
+    ``Mr_e·Nr·P_lna + Mr_e·P_sw + Nr·(Mr_e+1)·P_ps`` (``plot_ee.m:77``)."""
     return Mr_e * Nr * P_LNA + Mr_e * P_SW + Nr * (Mr_e + 1) * P_PS
 
 
-def power_conventional_hbf(Nr: int, Mr: int) -> float:
-    """Power draw of a conventional phase-shifter HBF front end."""
-    return Mr * Nr * P_LNA + Nr * Mr * P_PS
+def power_digital_bf(Nr: int) -> float:
+    """Fully-digital front end: ``Nr²·P_lna + Nr·(Nr+1)·P_zc``
+    (``plot_ee.m:74``)."""
+    return Nr * Nr * P_LNA + Nr * (Nr + 1) * P_ZC
+
+
+def power_conventional_hbf(Nr: int, Mr: int, zc: bool = False) -> float:
+    """Conventional HBF front end: ``Mr·Nr·P_lna + Nr·(Mr+1)·P_ps``
+    (phase shifters, or the ZC network price when ``zc``)
+    (``plot_ee.m:75-76``)."""
+    return Mr * Nr * P_LNA + Nr * (Mr + 1) * (P_ZC if zc else P_PS)
 
 
 def energy_efficiency(capacity_bits, power_watts) -> jnp.ndarray:

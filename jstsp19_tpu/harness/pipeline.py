@@ -1,0 +1,164 @@
+"""Per-realization simulation pipeline.
+
+One compiled function evaluates every requested estimator on one Monte-Carlo
+channel realization; the runner vmaps it over a batch of realizations and
+(optionally) shards that batch over a device mesh.  This is the TPU-native
+form of the reference's driver template (params → channel → conventional HBF
+baselines → proposed HBF + ADMM → clamped NMSE), e.g.
+``plot_errorVSsnr.m:48-167``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from jstsp19_tpu.channel import wideband_mmwave_channel
+from jstsp19_tpu.core import prng
+from jstsp19_tpu.core.metrics import clamped_nmse
+from jstsp19_tpu.frontend import (
+    awgn,
+    create_beamformer,
+    hbf,
+    proposed_hbf,
+    qam4_training_frames,
+)
+from jstsp19_tpu.solvers import (
+    admm_hyperparams,
+    ls_estimate,
+    mc_svt,
+    omp_mmv,
+    proposed_admm,
+    proposed_admm_angles,
+    vamp_mmwave,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class PointConfig:
+    """Static configuration of one sweep point (hashable → jit-static).
+
+    Defaults are the canonical ``plot_errorVSsnr.m:8-25`` block.
+    """
+
+    Nt: int = 4
+    Nr: int = 32
+    Mr_e: int = 32
+    Mr: int = 4
+    Gr: int = 32
+    Gt: int = 4
+    L: int = 4
+    n_clusters: int = 2
+    n_rays: int = 3
+    T: int = 35
+    Imax: int = 100
+    num_nonzero: int = 100
+    beamformer: str = "ZC"
+    methods: Tuple[str, ...] = ("ls", "vamp", "omp_mmv", "proposed", "proposed_angles")
+    admm_mode: str = "approximate"
+    vamp_nit: int = 100
+    vamp_true_noise: bool = False  # reference passes sigma=1 (plot_errorVSsnr.m:100)
+    rho_scale: float = 1.0  # plot_errorVSzy.m uses rho/2 (:65)
+
+    @property
+    def T_prop(self) -> int:
+        return self.T * self.Nt
+
+    @property
+    def T_hbf(self) -> int:
+        return round(self.T / (self.Nr / self.Mr)) * self.Nt
+
+
+def _dictionaries(ch, W_c, Psi):
+    """A = W_cᴴ·Dr and the stacked per-tap B blocks ``Dtᴴ·Psi_l``
+    (``plot_errorVSsnr.m:74-78``)."""
+    A = W_c.conj().T @ ch.Dr
+    B = jnp.einsum("gn,lnt->lgt", ch.Dt.conj().T, Psi)
+    L, Gt, T = B.shape
+    return A, B.reshape(L * Gt, T)
+
+
+def realization_errors(key, pc: PointConfig, noise_var) -> Dict[str, jnp.ndarray]:
+    """Evaluate all configured estimators on one channel realization.
+
+    Returns {method: clamped spectral NMSE vs Zbar} (plus auxiliary
+    outputs for special methods).  ``noise_var`` is a traced scalar so SNR
+    sweeps share one compilation.
+    """
+    out: Dict[str, jnp.ndarray] = {}
+    k_ch, k_tr, k_n, k_mask, k_bf = (
+        prng.role_key(key, prng.ROLE_CHANNEL),
+        prng.role_key(key, prng.ROLE_TRAINING),
+        prng.role_key(key, prng.ROLE_NOISE),
+        prng.role_key(key, prng.ROLE_MASK),
+        prng.role_key(key, prng.ROLE_BEAMFORMER),
+    )
+
+    ch = wideband_mmwave_channel(
+        k_ch, pc.L, pc.Nr, pc.Nt, pc.n_clusters, pc.n_rays, pc.Gr, pc.Gt
+    )
+    Psi = qam4_training_frames(k_tr, pc.Nt, pc.T_prop, pc.L)
+    N = awgn(k_n, pc.Nr, pc.T_prop, noise_var)
+    W = create_beamformer(pc.Nr, pc.beamformer, key=k_bf)
+
+    conventional = {"ls", "vamp", "omp_mmv"} & set(pc.methods)
+    if conventional:
+        # Conventional branch under the fair training budget T_hbf
+        # (`plot_errorVSsnr.m:73-78`).
+        Th = pc.T_hbf
+        Y_c, W_c = hbf(ch.H, N[:, :Th], Psi[:, :, :Th], pc.Nr, W)
+        A_c, B_c = _dictionaries(ch, W_c, Psi[:, :, :Th])
+        if "ls" in pc.methods:
+            out["ls"] = clamped_nmse(ls_estimate(Y_c, A_c, B_c), ch.Zbar)
+        if "vamp" in pc.methods:
+            nv = noise_var if pc.vamp_true_noise else 1.0
+            S_vamp = vamp_mmwave(
+                Y_c, A_c, B_c, nv, pc.num_nonzero, nit=pc.vamp_nit
+            )
+            out["vamp"] = clamped_nmse(S_vamp, ch.Zbar)
+        if "omp_mmv" in pc.methods:
+            # spx joint OMP on Y·pinv(B) (`plot_errorVSsnr.m:116-118`).
+            # The reference passes numOfnz=100 > Gr=32 atoms; spx saturates
+            # at the atom count, making MMV-OMP == LS (their committed fig
+            # curves are identical) — reproduced by clamping to Gr.
+            V = Y_c @ jnp.linalg.pinv(B_c)
+            S_omp = omp_mmv(A_c, V, min(pc.num_nonzero, pc.Gr)).x
+            out["omp_mmv"] = clamped_nmse(S_omp, ch.Zbar)
+
+    proposed_like = {"proposed", "proposed_angles", "svt", "tssr"} & set(pc.methods)
+    if proposed_like:
+        obs = proposed_hbf(k_mask, ch.H, N, Psi, pc.Mr_e, pc.Mr, W)
+        A_p, B_p = _dictionaries(ch, obs.W_e, Psi)
+        tau_Y, tau_S, rho = admm_hyperparams(obs.Y, ch.Zbar)
+        rho = rho * pc.rho_scale
+        if "proposed" in pc.methods:
+            res = proposed_admm(
+                obs.Y, obs.Omega, A_p, B_p, pc.Imax, tau_Y, tau_S, rho,
+                mode=pc.admm_mode,
+            )
+            out["proposed"] = clamped_nmse(res.S, ch.Zbar)
+        if "svt" in pc.methods or "tssr" in pc.methods:
+            # SVT matrix completion of the masked observation, then LS
+            # de-mixing / joint OMP with 2·nnz atoms — the SVT/TSSR baselines
+            # of the commented blocks `plot_errorVSsnr.m:148-163` (which feed
+            # the ADMM's completed Y into mc_svt; here the actual masked
+            # observation is completed, which is what SVT-MC is defined on).
+            Y_svt = mc_svt(obs.Y, obs.Omega, pc.Imax, tau_Y, 0.1)
+            if "svt" in pc.methods:
+                S_svt = ls_estimate(Y_svt, A_p, B_p)
+                out["svt"] = clamped_nmse(S_svt, ch.Zbar)
+            if "tssr" in pc.methods:
+                V = Y_svt @ jnp.linalg.pinv(B_p)
+                S_tssr = omp_mmv(A_p, V, min(2 * pc.num_nonzero, pc.Gr)).x
+                out["tssr"] = clamped_nmse(S_tssr, ch.Zbar)
+        if "proposed_angles" in pc.methods:
+            indx = jnp.argsort(-jnp.abs(ch.Zbar).reshape(-1))
+            res_a = proposed_admm_angles(
+                obs.Y, obs.Omega, indx, A_p, B_p, pc.Imax, tau_Y, tau_S, rho,
+                mode=pc.admm_mode,
+            )
+            out["proposed_angles"] = clamped_nmse(res_a.S, ch.Zbar)
+
+    return out

@@ -1,0 +1,130 @@
+"""Sweep runner: Monte-Carlo batches under jit/vmap, optionally sharded
+over a device mesh.
+
+The reference parallelizes with a MATLAB PCT ``parfor`` over realizations
+(`plot_errorVSsnr_approx.m:41`); here one compiled executable evaluates the
+whole realization batch (vmap), and the batch axis is sharded over the
+``mc`` mesh axis with a NamedSharding so the same code runs 1-chip or
+N-chip — reduction to the curve mean happens on device.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import time
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from jstsp19_tpu.core import prng
+from jstsp19_tpu.harness.pipeline import PointConfig, realization_errors
+
+
+@dataclasses.dataclass
+class SweepResult:
+    name: str
+    sweep_name: str
+    sweep_values: List
+    curves: Dict[str, List[float]]  # method -> mean metric per sweep point
+    n_mc: int
+    seconds: float
+    extras: Dict = dataclasses.field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "experiment": self.name,
+                "sweep": {self.sweep_name: list(map(float, self.sweep_values))},
+                "n_mc": self.n_mc,
+                "curves": {k: list(map(float, v)) for k, v in self.curves.items()},
+                "seconds": self.seconds,
+                **{k: v for k, v in self.extras.items() if _jsonable(v)},
+            },
+            indent=2,
+        )
+
+
+def _jsonable(v) -> bool:
+    try:
+        json.dumps(v)
+        return True
+    except TypeError:
+        return False
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_point(pc: PointConfig):
+    """Batched, jitted evaluation of one sweep point: (keys, noise_var) →
+    {method: per-realization NMSE}."""
+
+    @jax.jit
+    def run(keys, noise_var):
+        return jax.vmap(lambda k: realization_errors(k, pc, noise_var))(keys)
+
+    return run
+
+
+def default_mesh(axis: str = "mc") -> Optional[Mesh]:
+    devs = jax.devices()
+    if len(devs) <= 1:
+        return None
+    return Mesh(np.array(devs), (axis,))
+
+
+def run_point(
+    pc: PointConfig,
+    noise_var: float,
+    n_mc: int,
+    seed: int = 0,
+    sweep_index: int = 0,
+    mesh: Optional[Mesh] = None,
+) -> Dict[str, np.ndarray]:
+    """Evaluate one sweep point over n_mc realizations (device-sharded)."""
+    root = prng.experiment_key(seed)
+    keys = prng.realization_keys(root, sweep_index, n_mc)
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        if n_mc % n_dev:
+            raise ValueError(f"n_mc={n_mc} must divide over {n_dev} devices")
+        keys = jax.device_put(keys, NamedSharding(mesh, P(mesh.axis_names[0])))
+    out = _compiled_point(pc)(keys, jnp.asarray(noise_var, jnp.float32))
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+def run_sweep(
+    name: str,
+    sweep_name: str,
+    sweep_values: Sequence,
+    point_fn: Callable[[object], PointConfig],
+    noise_fn: Callable[[object], float],
+    n_mc: int = 8,
+    seed: int = 0,
+    mesh: Optional[Mesh] = None,
+    verbose: bool = True,
+) -> SweepResult:
+    """Run a full sweep: for each sweep value, build the PointConfig, run the
+    MC batch, and average each method's metric (the reference's
+    ``mean(error_*)`` reduction, ``plot_errorVSsnr.m:170-178``)."""
+    t0 = time.time()
+    curves: Dict[str, List[float]] = {}
+    for i, val in enumerate(sweep_values):
+        pc = point_fn(val)
+        nv = noise_fn(val)
+        out = run_point(pc, nv, n_mc, seed=seed, sweep_index=i, mesh=mesh)
+        for m, errs in out.items():
+            curves.setdefault(m, []).append(float(np.mean(errs)))
+        if verbose:
+            msg = ", ".join(f"{m}={curves[m][-1]:.4g}" for m in sorted(out))
+            print(f"[{name}] {sweep_name}={val}: {msg}")
+    return SweepResult(
+        name=name,
+        sweep_name=sweep_name,
+        sweep_values=list(sweep_values),
+        curves=curves,
+        n_mc=n_mc,
+        seconds=time.time() - t0,
+    )

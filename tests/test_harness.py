@@ -1,0 +1,71 @@
+"""Harness tests: small MC counts, every experiment recipe smoke-tested."""
+import numpy as np
+import pytest
+
+from jstsp19_tpu.harness import PointConfig, run_sweep, get_experiment
+from jstsp19_tpu.harness.runner import run_point, default_mesh
+
+
+def test_run_point_all_methods():
+    pc = PointConfig(
+        Nr=16, Mr_e=16, Gr=16, T=10, Imax=20, num_nonzero=20, vamp_nit=30,
+        methods=("ls", "vamp", "omp_mmv", "proposed", "proposed_angles", "svt", "tssr"),
+    )
+    out = run_point(pc, 10 ** (-10 / 10), n_mc=2)
+    assert set(out) == set(pc.methods)
+    for m, v in out.items():
+        assert v.shape == (2,)
+        assert np.all(np.isfinite(v)), m
+        assert np.all(v <= 1.0 + 1e-6), m
+
+
+def test_run_point_sharded_over_mesh(devices):
+    mesh = default_mesh()
+    assert mesh is not None and mesh.devices.size == 8
+    pc = PointConfig(Nr=16, Mr_e=16, Gr=16, T=5, Imax=10, num_nonzero=10,
+                     vamp_nit=10, methods=("ls", "proposed"))
+    out = run_point(pc, 0.1, n_mc=8, mesh=mesh)
+    out_single = run_point(pc, 0.1, n_mc=8, mesh=None)
+    # sharded and unsharded runs agree exactly (same keys, same math)
+    np.testing.assert_allclose(out["proposed"], out_single["proposed"], rtol=1e-4)
+
+
+def test_run_sweep_snr_curve_monotone_trend():
+    pc = PointConfig(Nr=16, Mr_e=16, Gr=16, T=15, Imax=30, num_nonzero=20,
+                     vamp_nit=30, methods=("ls", "proposed"))
+    res = run_sweep(
+        "mini_snr", "snr_db", [-10, 10],
+        point_fn=lambda s: pc,
+        noise_fn=lambda s: 10 ** (-s / 10),
+        n_mc=4, verbose=False,
+    )
+    assert set(res.curves) == {"ls", "proposed"}
+    # high SNR should not be worse than low SNR for the proposed estimator
+    assert res.curves["proposed"][1] <= res.curves["proposed"][0] + 0.05
+    js = res.to_json()
+    assert "mini_snr" in js
+
+
+@pytest.mark.parametrize(
+    "name,kw",
+    [
+        ("error_vs_zy", dict(n_mc=2, Imax=10)),
+        ("error_vs_admmiters", dict(n_mc=2, Imax=15)),
+        ("capacity", dict(n_mc=4)),
+        ("energy_efficiency", dict(n_mc=4)),
+        ("rank_r", dict(n_mc=2, geometries=((32, 32, 4),))),
+        ("channel_correlation", dict()),
+        ("bar3_beamspace", dict()),
+    ],
+)
+def test_special_experiments_smoke(name, kw):
+    res = get_experiment(name)(**kw)
+    assert res.curves
+    for k, v in res.curves.items():
+        assert np.all(np.isfinite(np.asarray(v, dtype=float))), (name, k)
+
+
+def test_admmiters_residual_decays():
+    res = get_experiment("error_vs_admmiters")(n_mc=2, Imax=40)
+    eps1 = np.asarray(res.curves["eps1"])
+    assert eps1[-1] < eps1[2]
