@@ -18,10 +18,20 @@ Output: ONE JSON line on stdout:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 """
 import json
+import os
 import sys
 import time
 
 import jax
+
+# Persistent compilation cache: the tunneled TPU backend's remote-compile
+# path is intermittently very slow; caching compiled executables on disk
+# makes repeat benchmark runs immune to that.
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 import jax.numpy as jnp
 
 from jstsp19_tpu.core import prng
@@ -32,7 +42,7 @@ REF_PROPOSED_NMSE_0DB = 0.12998  # errorVSsnr_angles.fig, Proposed @ 0 dB
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     pc = PointConfig(methods=("proposed",))
     noise_var = jnp.asarray(1.0, jnp.float32)  # SNR 0 dB
 
@@ -48,14 +58,16 @@ def main():
 
     reps = 3
     best = float("inf")
+    mean_nmse = None
     for r in range(reps):
         keys_r = prng.realization_keys(prng.experiment_key(r + 1), 0, batch)
         t1 = time.time()
-        errs = jax.block_until_ready(run(keys_r, noise_var))
+        # force a host transfer inside the timed section — block_until_ready
+        # alone does not reliably synchronize on the tunneled TPU backend
+        mean_nmse = float(jnp.mean(run(keys_r, noise_var)))
         best = min(best, time.time() - t1)
 
     est_per_sec = batch / best
-    mean_nmse = float(jnp.mean(errs))
 
     print(
         f"[bench] device={jax.devices()[0].device_kind} batch={batch} "

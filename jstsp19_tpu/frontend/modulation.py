@@ -3,19 +3,21 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from jstsp19_tpu.core.config import COMPLEX_DTYPE
 
-_S = 1.0 / jnp.sqrt(2.0)
-QAM4_ALPHABET = jnp.asarray(
-    [_S + 1j * _S, -_S + 1j * _S, _S - 1j * _S, -_S - 1j * _S], COMPLEX_DTYPE
+# NOTE: module-level constants stay numpy — import must not touch a device.
+_S = float(1.0 / np.sqrt(2.0))
+QAM4_ALPHABET = np.asarray(
+    [_S + 1j * _S, -_S + 1j * _S, _S - 1j * _S, -_S - 1j * _S], "complex64"
 )
 
 
 def qam4_mod(key: jax.Array, shape) -> jnp.ndarray:
     """Draw unit-energy 4-QAM symbols uniformly (``qam4mod.m:7-8``)."""
     idx = jax.random.randint(key, shape, 0, 4)
-    return QAM4_ALPHABET[idx]
+    return jnp.asarray(QAM4_ALPHABET)[idx]
 
 
 def qam4_demod(y: jnp.ndarray) -> jnp.ndarray:

@@ -10,10 +10,12 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 # Max's optimal uniform quantizer step sizes for a unit-variance Gaussian,
-# bits 1..8 (`optimum_uniform_quantizer.m:9-10`).
-OPTIMUM_STEPSIZE = jnp.asarray(
+# bits 1..8 (`optimum_uniform_quantizer.m:9-10`).  Kept numpy: import must
+# not touch a device.
+OPTIMUM_STEPSIZE = np.asarray(
     [1.5958, 0.9957, 0.586, 0.3352, 0.1881, 0.1041, 0.0569, 0.0308]
 )
 _FALLBACK_STEP = 0.01  # bits > 8 (`optimum_uniform_quantizer.m:4-5`)

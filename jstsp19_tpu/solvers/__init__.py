@@ -13,3 +13,4 @@ from jstsp19_tpu.solvers.estim import (  # noqa: F401
     CAwgnLikelihood,
 )
 from jstsp19_tpu.solvers.vamp import vamp_glm, vamp_mmwave  # noqa: F401
+from jstsp19_tpu.solvers.gamp import gamp, fista  # noqa: F401

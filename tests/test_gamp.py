@@ -1,0 +1,67 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jstsp19_tpu.ops import MatrixOp
+from jstsp19_tpu.solvers.estim import CAwgnPrior, SparsePrior, CAwgnLikelihood
+from jstsp19_tpu.solvers.gamp import gamp, fista
+
+
+def crandn(key, shape, var=1.0):
+    k1, k2 = jax.random.split(key)
+    return (
+        (jax.random.normal(k1, shape) + 1j * jax.random.normal(k2, shape))
+        * np.sqrt(var / 2)
+    ).astype(jnp.complex64)
+
+
+def _sparse_problem(key, m=128, n=256, k=10, snr_db=25.0):
+    kA, kx, ki, kn = jax.random.split(key, 4)
+    A = crandn(kA, (m, n)) / np.sqrt(m)
+    idx = jax.random.choice(ki, n, (k,), replace=False)
+    beta = k / n
+    x = jnp.zeros((n,), jnp.complex64).at[idx].set(crandn(kx, (k,), var=1 / beta))
+    y_clean = A @ x
+    nv = float(jnp.mean(jnp.abs(y_clean) ** 2)) * 10 ** (-snr_db / 10)
+    y = y_clean + crandn(kn, (m,), nv)
+    return A, x, y, nv, beta
+
+
+def test_gamp_recovers_sparse_vector(key):
+    A, x, y, nv, beta = _sparse_problem(key)
+    op = MatrixOp(A)
+    prior = SparsePrior(
+        CAwgnPrior(jnp.asarray(0.0 + 0j), jnp.asarray(1.0 / beta, jnp.float32)),
+        jnp.asarray(beta, jnp.float32),
+    )
+    lik = CAwgnLikelihood(y, jnp.asarray(nv, jnp.float32))
+    res = gamp(prior, lik, op, nit=80)
+    nmse = float(jnp.sum(jnp.abs(res.x - x) ** 2) / jnp.sum(jnp.abs(x) ** 2))
+    assert nmse < 0.05, nmse
+
+
+def test_gamp_gaussian_prior_near_lmmse(key):
+    # Gaussian prior: GAMP fixed point == LMMSE
+    kA, kx, kn = jax.random.split(key, 3)
+    A = crandn(kA, (64, 32)) / 8.0
+    x = crandn(kx, (32,))
+    nv = 0.05
+    y = A @ x + crandn(kn, (64,), nv)
+    op = MatrixOp(A)
+    prior = CAwgnPrior(jnp.asarray(0.0 + 0j), jnp.asarray(1.0))
+    lik = CAwgnLikelihood(y, jnp.asarray(nv, jnp.float32))
+    res = gamp(prior, lik, op, nit=100)
+    An = np.asarray(A, np.complex128)
+    xl = np.linalg.solve(
+        An.conj().T @ An + nv * np.eye(32), An.conj().T @ np.asarray(y)
+    )
+    rel = np.linalg.norm(np.asarray(res.x) - xl) / np.linalg.norm(xl)
+    assert rel < 0.05, rel
+
+
+def test_fista_recovers_sparse_vector(key):
+    A, x, y, nv, beta = _sparse_problem(key, snr_db=35.0)
+    op = MatrixOp(A)
+    xh = fista(y, op, lam=0.002, nit=300)
+    nmse = float(jnp.sum(jnp.abs(xh - x) ** 2) / jnp.sum(jnp.abs(x) ** 2))
+    assert nmse < 0.05, nmse
