@@ -1,0 +1,58 @@
+"""Scaling-efficiency benchmark: channel-estimations/sec vs device count.
+
+The BASELINE target is >80% scaling efficiency from 1 host to N; here the
+measurement harness runs the same compiled Monte-Carlo batch with the MC
+axis sharded over 1, 2, …, N devices of the available mesh and reports
+throughput + efficiency (N-device throughput / (N × 1-device throughput)).
+On CPU this exercises the code path with virtual devices; on a pod slice the
+identical code measures real ICI scaling.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from jstsp19_tpu.core import prng
+from jstsp19_tpu.harness.pipeline import PointConfig, realization_errors
+
+
+def scaling_benchmark(
+    pc: Optional[PointConfig] = None,
+    per_device_batch: int = 8,
+    noise_var: float = 1.0,
+    device_counts: Optional[List[int]] = None,
+    reps: int = 3,
+) -> Dict:
+    """Weak-scaling measurement: fixed per-device batch, growing mesh."""
+    pc = pc or PointConfig(methods=("proposed",), Imax=50)
+    devs = jax.devices()
+    if device_counts is None:
+        device_counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devs)]
+
+    @jax.jit
+    def run(keys, nv):
+        return jax.vmap(lambda k: realization_errors(k, pc, nv))(keys)["proposed"]
+
+    results = {"device_counts": device_counts, "throughput": [], "per_device": []}
+    for n in device_counts:
+        mesh = Mesh(np.array(devs[:n]), ("mc",))
+        batch = per_device_batch * n
+        keys = prng.realization_keys(prng.experiment_key(0), 0, batch)
+        keys = jax.device_put(keys, NamedSharding(mesh, P("mc")))
+        nv = jnp.asarray(noise_var, jnp.float32)
+        float(jnp.mean(run(keys, nv)))  # compile + warm (host-synced)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            float(jnp.mean(run(keys, nv)))
+            best = min(best, time.time() - t0)
+        results["throughput"].append(batch / best)
+        results["per_device"].append(batch / best / n)
+    base = results["per_device"][0]
+    results["efficiency"] = [p / base for p in results["per_device"]]
+    return results

@@ -49,7 +49,11 @@ def admm_hyperparams(Y_obs: jnp.ndarray, Zbar_ref: jnp.ndarray, top_k: int = 6):
     """
     tau_Y = 1.0 / jnp.sum(jnp.abs(Y_obs) ** 2)
     tau_S = 1.0 / (2.0 * jnp.sum(jnp.abs(Zbar_ref) ** 2))
-    G = Y_obs.conj().T @ Y_obs
+    # Thin-side Gram: nonzero eigenvalues of YᴴY and YYᴴ coincide, and the
+    # top-6 live in the rank ≤ min(N,M) part — an N×N eigh instead of M×M
+    # (N=32 vs M=140 at the canonical config; also a far smaller XLA program).
+    n, m = Y_obs.shape
+    G = Y_obs @ Y_obs.conj().T if n <= m else Y_obs.conj().T @ Y_obs
     ev = jnp.linalg.eigvalsh(G)  # ascending
     min_top = ev[-top_k]
     rho = jnp.sqrt(jnp.maximum(min_top, 0.0) * tau_Y)
