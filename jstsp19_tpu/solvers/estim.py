@@ -139,6 +139,41 @@ _register(SoftThreshPrior, ("lam",))
 
 
 @dataclasses.dataclass(frozen=True)
+class CGMPrior:
+    """Circular Gaussian-mixture prior (the ``GMEstimIn``/EM-GM analog):
+    x ~ Σ_k w_k · CN(mu_k, v_k).  Posterior moments from r = x + CN(0, rvar)
+    via responsibility-weighted component posteriors."""
+
+    weights: jnp.ndarray  # (K,)
+    means: jnp.ndarray  # (K,) complex
+    variances: jnp.ndarray  # (K,)
+
+    def estim(self, rhat, rvar):
+        r = rhat[..., None]
+        v = self.variances + rvar[..., None]
+        loglike = -(jnp.log(jnp.pi) + jnp.log(v) + jnp.abs(r - self.means) ** 2 / v)
+        logw = jnp.log(self.weights) + loglike
+        logw = logw - jax.scipy.special.logsumexp(logw, axis=-1, keepdims=True)
+        resp = jnp.exp(logw)
+        gain = self.variances / v
+        post_mean = gain * (r - self.means) + self.means
+        post_var = gain * rvar[..., None]
+        xhat = jnp.sum(resp * post_mean, axis=-1)
+        ex2 = jnp.sum(resp * (jnp.abs(post_mean) ** 2 + post_var), axis=-1)
+        return xhat, jnp.maximum(ex2 - jnp.abs(xhat) ** 2, 0.0)
+
+    def init_moments(self):
+        m = jnp.sum(self.weights * self.means)
+        v = jnp.sum(
+            self.weights * (jnp.abs(self.means) ** 2 + self.variances)
+        ) - jnp.abs(m) ** 2
+        return m, v
+
+
+_register(CGMPrior, ("weights", "means", "variances"))
+
+
+@dataclasses.dataclass(frozen=True)
 class CAwgnLikelihood:
     """y = scale·z + CN(0, wvar).  Posterior of z from z ~ CN(phat, pvar):
     ``gain = pvar/(scale²·pvar + wvar)`` (``CAwgnEstimOut.m:100-112``)."""
@@ -154,3 +189,79 @@ class CAwgnLikelihood:
 
 
 _register(CAwgnLikelihood, ("y", "wvar", "scale"))
+
+
+@dataclasses.dataclass(frozen=True)
+class ProbitLikelihood:
+    """Binary observation y ∈ {0,1} of sign(z + noise) — the
+    ``ProbitEstimOut`` analog for real z: posterior moments of
+    z ~ N(phat, pvar) given y = 1{z + N(0, wvar) > 0}."""
+
+    y: jnp.ndarray  # (…,) in {0, 1}
+    wvar: jnp.ndarray = 1e-2
+
+    def estim(self, phat, pvar):
+        s = 2.0 * self.y - 1.0  # ±1
+        denom = jnp.sqrt(pvar + self.wvar)
+        alpha = s * phat / denom
+        # N(alpha)/Phi(alpha) via the scaled complementary error function
+        logpdf = -0.5 * alpha**2 - 0.5 * jnp.log(2 * jnp.pi)
+        logcdf = jax.scipy.stats.norm.logcdf(alpha)
+        ratio = jnp.exp(logpdf - logcdf)
+        zhat = phat + s * pvar / denom * ratio
+        zvar = pvar - pvar**2 / (pvar + self.wvar) * ratio * (alpha + ratio)
+        return zhat, jnp.maximum(zvar, 1e-12)
+
+
+_register(ProbitLikelihood, ("y", "wvar"))
+
+
+@dataclasses.dataclass(frozen=True)
+class PoissonLikelihood:
+    """Count observation y ~ Poisson(scale·z), z ≥ 0 — the
+    ``PoissonEstim`` analog, with a Gaussian-approximated posterior
+    (quadratic expansion of the log-likelihood at the prior mean)."""
+
+    y: jnp.ndarray
+    scale: jnp.ndarray = 1.0
+
+    def estim(self, phat, pvar):
+        # Laplace approximation around a positive operating point.
+        z0 = jnp.maximum(phat, 1e-6)
+        # d/dz [y·log(sz) − s·z] = y/z − s ;  −d²/dz² = y/z²
+        grad = self.y / z0 - self.scale
+        curv = self.y / z0**2
+        post_prec = 1.0 / pvar + curv
+        zhat = z0 + (grad + (phat - z0) / pvar) / post_prec
+        return jnp.maximum(zhat, 0.0), 1.0 / post_prec
+
+
+_register(PoissonLikelihood, ("y", "scale"))
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantizedLikelihood:
+    """Interval observation from a uniform scalar quantizer: y known to lie
+    in [lo, hi] per component (ties the ``optimum_uniform_quantizer``
+    front end into estimation — the few-bit-ADC receiver model).  Real
+    scalar moments of z ~ N(phat, pvar) truncated to [lo, hi]."""
+
+    lo: jnp.ndarray
+    hi: jnp.ndarray
+
+    def estim(self, phat, pvar):
+        sig = jnp.sqrt(pvar)
+        a = (self.lo - phat) / sig
+        b = (self.hi - phat) / sig
+        # moments of the truncated normal via stable log-cdf differences
+        log_cdf_b = jax.scipy.stats.norm.logcdf(b)
+        log_cdf_a = jax.scipy.stats.norm.logcdf(a)
+        Z = jnp.maximum(jnp.exp(log_cdf_b) - jnp.exp(log_cdf_a), 1e-30)
+        pdf_a = jax.scipy.stats.norm.pdf(a)
+        pdf_b = jax.scipy.stats.norm.pdf(b)
+        zhat = phat + sig * (pdf_a - pdf_b) / Z
+        t = 1.0 + (a * pdf_a - b * pdf_b) / Z - ((pdf_a - pdf_b) / Z) ** 2
+        return zhat, jnp.maximum(pvar * t, 1e-12)
+
+
+_register(QuantizedLikelihood, ("lo", "hi"))

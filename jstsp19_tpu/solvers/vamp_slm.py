@@ -1,0 +1,108 @@
+"""VAMP for the Standard Linear Model + its state evolution.
+
+Counterparts of ``VAMP/VampSlmEst.m`` (estimate x from y = A·x + CN(0,1/gamw))
+and the analytic performance predictors ``VAMP/VampSlmSE.m`` /
+``stateEvo/gampSE.m``.  The SE is the strongest correctness oracle the
+reference ships (demos overlay empirical vs SE curves); here the denoiser
+MSE expectation is evaluated by a fixed-key Monte-Carlo average, the linear
+stage analytically from the operator spectrum.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from jstsp19_tpu.core import prng
+
+GAM_MIN = 1e-11
+GAM_MAX = 1e11
+
+
+class VampSlmResult(NamedTuple):
+    x: jnp.ndarray
+    gam1: jnp.ndarray
+    mse_track: jnp.ndarray  # (nit,) E[xvar1] per iteration
+
+
+@functools.partial(jax.jit, static_argnames=("nit",))
+def vamp_slm(prior, y, op, gamw, nit: int = 50, damp: float = 0.9) -> VampSlmResult:
+    """VAMP-SLM with the LMMSE stage in the operator's input-Gram eigenbasis.
+
+    ``op`` must provide ``gram_in_eig`` / ``to_eigbasis`` / ``from_eigbasis``
+    (KronDictOp) and ``rmv``; ``gamw`` is the noise precision.
+    """
+    Va, Vb, d = op.gram_in_eig()
+    N = 1
+    for s in op.in_shape:
+        N *= s
+    Ahy = op.rmv(y)
+    Ahy_t = op.to_eigbasis(Va, Vb, Ahy)
+
+    r1 = jnp.zeros(op.in_shape, y.dtype)
+    gam1 = jnp.asarray(GAM_MIN, jnp.float32)
+
+    def body(carry, _):
+        r1, gam1 = carry
+        x1, xvar1 = prior.estim(r1, 1.0 / gam1)
+        eta1 = 1.0 / jnp.maximum(jnp.mean(xvar1), 1e-30)
+        gam2 = jnp.clip(eta1 - gam1, 1e-3 * eta1, GAM_MAX)
+        r2 = (x1 * eta1 - r1 * gam1) / gam2
+        # LMMSE: (gamw·AᴴA + gam2·I)⁻¹(gamw·Aᴴy + gam2·r2)
+        rhs_t = gamw * Ahy_t + gam2 * op.to_eigbasis(Va, Vb, r2)
+        x2 = op.from_eigbasis(Va, Vb, rhs_t / (gamw * d + gam2))
+        alpha = jnp.mean(gam2 / (gamw * d + gam2))
+        alpha = jnp.clip(alpha, 1e-6, 1.0 - 1e-6)
+        r1n = (x2 - alpha * r2) / (1.0 - alpha)
+        gam1n = jnp.clip(gam2 * (1.0 - alpha) / alpha, GAM_MIN, GAM_MAX)
+        r1n = damp * r1n + (1 - damp) * r1
+        gam1n = damp * gam1n + (1 - damp) * gam1
+        return (r1n, gam1n), jnp.mean(xvar1)
+
+    (r1, gam1), mse = jax.lax.scan(body, (r1, gam1), None, length=nit)
+    x, _ = prior.estim(r1, 1.0 / gam1)
+    return VampSlmResult(x=x, gam1=gam1, mse_track=mse)
+
+
+def vamp_slm_se(
+    prior_sampler,
+    prior,
+    d_spectrum: jnp.ndarray,
+    gamw,
+    nit: int = 50,
+    n_samples: int = 4096,
+    seed: int = 0,
+) -> jnp.ndarray:
+    """State evolution of VAMP-SLM: predicted denoiser MSE per iteration.
+
+    ``prior_sampler(key, n)`` draws x⁰ samples from the prior;
+    ``d_spectrum`` are the eigenvalues of AᴴA (zeros included).  Returns
+    the (nit,) sequence of predicted E|x̂−x⁰|² — compare against the
+    empirical ``mse_track`` of :func:`vamp_slm` (the reference's
+    ``VampSlmSE.m`` overlay test).
+    """
+    key = prng.experiment_key(seed)
+    x0 = prior_sampler(key, n_samples)
+    noise_key = jax.random.fold_in(key, 1)
+    gam1 = jnp.asarray(GAM_MIN, jnp.float32)
+
+    def denoiser_mse(gam1):
+        # E over the prior and the effective Gaussian channel
+        w = prng.complex_normal(noise_key, (n_samples,), var=1.0)
+        r = x0 + w / jnp.sqrt(gam1)
+        xhat, _ = prior.estim(r, 1.0 / gam1)
+        return jnp.mean(jnp.abs(xhat - x0) ** 2)
+
+    def body(gam1, _):
+        mse1 = jnp.maximum(denoiser_mse(gam1), 1e-30)
+        eta1 = 1.0 / mse1
+        gam2 = jnp.clip(eta1 - gam1, 1e-3 * eta1, GAM_MAX)
+        alpha = jnp.mean(gam2 / (gamw * d_spectrum + gam2))
+        alpha = jnp.clip(alpha, 1e-6, 1.0 - 1e-6)
+        gam1n = jnp.clip(gam2 * (1.0 - alpha) / alpha, GAM_MIN, GAM_MAX)
+        return gam1n, mse1
+
+    _, mses = jax.lax.scan(body, gam1, None, length=nit)
+    return mses
