@@ -1,0 +1,132 @@
+"""Bilinear GAMP (BiG-AMP): joint estimation of both factors of Z = A·X.
+
+TPU-native counterpart of the reference's BiGAMP family
+(``MPbased_solvers/BiGAMP/BiGAMP.m`` and the EMBiGAMP_DL / _MC / _RPCA
+drivers): dictionary learning, matrix completion and robust PCA all
+instantiate the same bilinear message-passing core.  This implementation
+follows the Parker–Schniter BiG-AMP recursion with uniform (scalar)
+variances — the ``BiGAMP_Lite`` regime — which keeps every quantity a dense
+matrix op under ``lax.scan``:
+
+    Z (L×M) = A (L×R) · X (R×M),  observed through an elementwise
+    likelihood (AWGN with optional mask → matrix completion).
+
+Priors on A and X are estimator modules from
+:mod:`jstsp19_tpu.solvers.estim`.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class BigAmpResult(NamedTuple):
+    A: jnp.ndarray
+    X: jnp.ndarray
+    Z: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("nit", "rank"))
+def bigamp(
+    Y: jnp.ndarray,
+    mask: jnp.ndarray,
+    rank: int,
+    prior_a,
+    prior_x,
+    noise_var,
+    key,
+    nit: int = 50,
+    step: float = 0.7,
+    var_floor: float = 1e-9,
+) -> BigAmpResult:
+    """Run BiG-AMP on (masked) observations ``Y ≈ mask ∘ (A·X)``.
+
+    Y: (L, M); mask: (L, M) in {0,1} (all-ones = full observation);
+    ``key`` seeds the random factor initialization (the bilinear problem is
+    invariant to A·X ↦ (A·G)(G⁻¹·X), so the output is the product Z plus
+    one arbitrary factorization).
+    """
+    L, M = Y.shape
+    R = rank
+    cdt = Y.dtype
+    rdt = jnp.float32
+
+    kA, kX = jax.random.split(key)
+    # random init scaled to the prior's second moment
+    ma, va = prior_a.init_moments()
+    mx, vx = prior_x.init_moments()
+    Ahat = (
+        jax.random.normal(kA, (L, R)) + 1j * jax.random.normal(jax.random.fold_in(kA, 1), (L, R))
+    ).astype(cdt) * jnp.sqrt((jnp.abs(ma) ** 2 + va) / 2)
+    Xhat = (
+        jax.random.normal(kX, (R, M)) + 1j * jax.random.normal(jax.random.fold_in(kX, 1), (R, M))
+    ).astype(cdt) * jnp.sqrt((jnp.abs(mx) ** 2 + vx) / 2)
+    Avar = jnp.asarray(va, rdt)
+    Xvar = jnp.asarray(vx, rdt)
+    Shat = jnp.zeros((L, M), cdt)
+
+    nv = jnp.asarray(noise_var, rdt)
+    m = mask.astype(rdt)
+
+    def body(carry, _):
+        Ahat, Avar, Xhat, Xvar, Shat = carry
+        a2 = jnp.mean(jnp.abs(Ahat) ** 2)
+        x2 = jnp.mean(jnp.abs(Xhat) ** 2)
+
+        # --- output linear stage (scalar-variance BiG-AMP) --------------
+        zvar_bar = R * (a2 * Xvar + Avar * x2)  # plug-in variance
+        zvar = zvar_bar + R * Avar * Xvar
+        Phat = Ahat @ Xhat - Shat * zvar_bar
+        zvar = jnp.maximum(zvar, var_floor)
+
+        # --- output nonlinear (masked AWGN) -----------------------------
+        gain = zvar / (zvar + nv)
+        Z0 = Phat + gain * (Y - Phat)
+        zvar0 = gain * nv
+        # unobserved entries carry no information
+        Z0 = m * Z0 + (1 - m) * Phat
+        zvar0_eff = m * zvar0 + (1 - m) * zvar
+        Shat_new = (Z0 - Phat) / zvar
+        svar = jnp.maximum((1.0 - jnp.mean(zvar0_eff) / zvar) / zvar, var_floor)
+        Shat_new = step * Shat_new + (1 - step) * Shat
+
+        # --- input linear stages ----------------------------------------
+        rvar_x = 1.0 / jnp.maximum(L * svar * a2, var_floor)
+        Rx = Xhat * (1.0 - rvar_x * L * svar * Avar) + rvar_x * (
+            Ahat.conj().T @ Shat_new
+        )
+        rvar_a = 1.0 / jnp.maximum(M * svar * x2, var_floor)
+        Ra = Ahat * (1.0 - rvar_a * M * svar * Xvar) + rvar_a * (
+            Shat_new @ Xhat.conj().T
+        )
+
+        # --- input nonlinear --------------------------------------------
+        Xn, Xvar_n = prior_x.estim(Rx, rvar_x)
+        An, Avar_n = prior_a.estim(Ra, rvar_a)
+        Xn = step * Xn + (1 - step) * Xhat
+        An = step * An + (1 - step) * Ahat
+        return (
+            An,
+            jnp.maximum(jnp.mean(Avar_n), var_floor),
+            Xn,
+            jnp.maximum(jnp.mean(Xvar_n), var_floor),
+            Shat_new,
+        ), None
+
+    (Ahat, Avar, Xhat, Xvar, Shat), _ = jax.lax.scan(
+        body, (Ahat, Avar, Xhat, Xvar, Shat), None, length=nit
+    )
+    return BigAmpResult(A=Ahat, X=Xhat, Z=Ahat @ Xhat)
+
+
+def bigamp_mc(Y, mask, rank, noise_var, key, nit=100, step=0.7):
+    """Matrix completion via BiG-AMP (the ``EMBiGAMP_MC`` capability):
+    Gaussian priors on both factors."""
+    from jstsp19_tpu.solvers.estim import CAwgnPrior
+
+    pa = CAwgnPrior(jnp.asarray(0.0 + 0j), jnp.asarray(1.0))
+    px = CAwgnPrior(jnp.asarray(0.0 + 0j), jnp.asarray(1.0))
+    return bigamp(Y, mask, rank, pa, px, noise_var, key, nit=nit, step=step)

@@ -25,6 +25,7 @@ class VampSlmResult(NamedTuple):
     x: jnp.ndarray
     gam1: jnp.ndarray
     mse_track: jnp.ndarray  # (nit,) E[xvar1] per iteration
+    r1: jnp.ndarray  # final denoiser-input message (for EM wrappers)
 
 
 @functools.partial(jax.jit, static_argnames=("nit",))
@@ -63,7 +64,7 @@ def vamp_slm(prior, y, op, gamw, nit: int = 50, damp: float = 0.9) -> VampSlmRes
 
     (r1, gam1), mse = jax.lax.scan(body, (r1, gam1), None, length=nit)
     x, _ = prior.estim(r1, 1.0 / gam1)
-    return VampSlmResult(x=x, gam1=gam1, mse_track=mse)
+    return VampSlmResult(x=x, gam1=gam1, mse_track=mse, r1=r1)
 
 
 def vamp_slm_se(

@@ -1,0 +1,49 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jstsp19_tpu.core import prng
+from jstsp19_tpu.solvers.bigamp import bigamp, bigamp_mc
+from jstsp19_tpu.solvers.estim import CAwgnPrior, SparsePrior
+
+
+def test_bigamp_matrix_completion():
+    key = jax.random.key(0)
+    L, M, R = 40, 60, 3
+    A = prng.complex_normal(jax.random.fold_in(key, 0), (L, R))
+    X = prng.complex_normal(jax.random.fold_in(key, 1), (R, M))
+    Z = A @ X
+    mask = (jax.random.uniform(jax.random.fold_in(key, 2), (L, M)) < 0.6).astype(
+        jnp.float32
+    )
+    nv = 1e-3
+    Y = mask * (Z + prng.complex_normal(jax.random.fold_in(key, 3), (L, M), var=nv))
+    res = bigamp_mc(Y, mask, R, nv, jax.random.fold_in(key, 4), nit=300, step=0.5)
+    nmse = float(jnp.sum(jnp.abs(res.Z - Z) ** 2) / jnp.sum(jnp.abs(Z) ** 2))
+    assert nmse < 1e-3, nmse
+
+
+def test_bigamp_dictionary_learning_sparse_codes():
+    # DL flavor: sparse prior on X — product should still be recovered.
+    key = jax.random.key(1)
+    L, M, R = 32, 80, 4
+    beta = 0.3
+    A = prng.complex_normal(jax.random.fold_in(key, 0), (L, R))
+    act = jax.random.uniform(jax.random.fold_in(key, 1), (R, M)) < beta
+    X = jnp.where(
+        act, prng.complex_normal(jax.random.fold_in(key, 2), (R, M), var=1 / beta), 0.0
+    )
+    Z = A @ X
+    nv = 1e-3
+    Y = Z + prng.complex_normal(jax.random.fold_in(key, 3), (L, M), var=nv)
+    pa = CAwgnPrior(jnp.asarray(0.0 + 0j), jnp.asarray(1.0))
+    px = SparsePrior(
+        CAwgnPrior(jnp.asarray(0.0 + 0j), jnp.asarray(1 / beta, jnp.float32)),
+        jnp.asarray(beta, jnp.float32),
+    )
+    res = bigamp(
+        Y, jnp.ones((L, M), jnp.float32), R, pa, px, nv,
+        jax.random.fold_in(key, 4), nit=300, step=0.4,
+    )
+    nmse = float(jnp.sum(jnp.abs(res.Z - Z) ** 2) / jnp.sum(jnp.abs(Z) ** 2))
+    assert nmse < 5e-2, nmse
