@@ -164,7 +164,7 @@ def error_vs_nrf(n_mc=8, seed=0, mesh=None, **kw):
 # Specialized drivers
 # ---------------------------------------------------------------------------
 
-def _approx_realization(key, T, noise_var, sub_ratio, Imax, mode):
+def _approx_realization(key, noise_var, *, T, sub_ratio, Imax, mode):
     """One realization of the ``plot_errorVSsnr_approx.m`` pipeline: the
     ``wideband_hybBF_comm_system_training`` front end + proposed ADMM in
     'std'(exact) or 'approximate' mode; S recovered by LS de-mixing of the

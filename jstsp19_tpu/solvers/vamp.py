@@ -138,10 +138,11 @@ def vamp_glm(
         ratio = gam2x / gam2z
         inv_d = 1.0 / (d + ratio)
         # The reference guards only alf==0 (`-eps`, VampGlmEst.m:399); in
-        # float32 with a square operator (delta==1) alf can also reach 1
-        # exactly, which zeroes (1-alf) and (delta-alf) — clamp both ends.
+        # float32 alf can also reach its upper bound exactly — min(1, delta)
+        # (alf = (1/N)·Σ d/(d+ratio) has at most min(M, N) nonzero terms) —
+        # which zeroes (1-alf) and/or (delta-alf).  Clamp both ends.
         alf = jnp.sum(d * inv_d) / N
-        alf = jnp.clip(alf, 1e-6, 1.0 - 1e-6)
+        alf = jnp.clip(alf, 1e-6, min(1.0, delta) * (1.0 - 1e-6))
         if out_branch:
             Ar2 = op.mv(r2)
             Up = Uh(p2 - Ar2) * inv_d
@@ -162,6 +163,18 @@ def vamp_glm(
         p1n = jnp.where(first, p1n, damp * p1n + (1 - damp) * c.p1)
         gam1xn = jnp.where(first, gam1xn, damp * gam1xn + (1 - damp) * c.gam1x)
         gam1zn = jnp.where(first, gam1zn, damp * gam1zn + (1 - damp) * c.gam1z)
+
+        # Divergence guard: severely under-determined / noise-mis-specified
+        # problems (e.g. the T=5 framelength corner at −15 dB) make the VAMP
+        # fixed point unstable — the reference lets iterates grow in float64
+        # and reports the NMSE clamped at 1.  In float32 unbounded growth
+        # becomes inf/NaN, so rescale runaway messages; this only engages
+        # once the estimate is already garbage (reported NMSE → 1).
+        cap = 1e6
+        for_msg = jnp.maximum(jnp.max(jnp.abs(r1n)), jnp.max(jnp.abs(p1n)))
+        scale = jnp.where(for_msg > cap, cap / for_msg, 1.0)
+        r1n = r1n * scale
+        p1n = p1n * scale
 
         return (
             Carry(r1=r1n, p1=p1n, gam1x=gam1xn, gam1z=gam1zn, x1=x1, z1=z1),
