@@ -17,3 +17,4 @@ from jstsp19_tpu.solvers.gamp import gamp, fista  # noqa: F401
 from jstsp19_tpu.solvers.vamp_slm import vamp_slm, vamp_slm_se  # noqa: F401
 from jstsp19_tpu.solvers.bigamp import bigamp, bigamp_mc  # noqa: F401
 from jstsp19_tpu.solvers.em import em_bg_vamp  # noqa: F401
+from jstsp19_tpu.solvers.turbo import turbo_markov_vamp  # noqa: F401

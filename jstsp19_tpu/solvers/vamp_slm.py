@@ -60,6 +60,10 @@ def vamp_slm(prior, y, op, gamw, nit: int = 50, damp: float = 0.9) -> VampSlmRes
         gam1n = jnp.clip(gam2 * (1.0 - alpha) / alpha, GAM_MIN, GAM_MAX)
         r1n = damp * r1n + (1 - damp) * r1
         gam1n = damp * gam1n + (1 - damp) * gam1
+        # divergence guard (see vamp.py): rescale runaway messages in f32
+        cap = 1e6
+        mx = jnp.max(jnp.abs(r1n))
+        r1n = r1n * jnp.where(mx > cap, cap / mx, 1.0)
         return (r1n, gam1n), jnp.mean(xvar1)
 
     (r1, gam1), mse = jax.lax.scan(body, (r1, gam1), None, length=nit)
