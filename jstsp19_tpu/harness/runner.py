@@ -105,20 +105,42 @@ def run_sweep(
     seed: int = 0,
     mesh: Optional[Mesh] = None,
     verbose: bool = True,
+    checkpoint_dir: Optional[str] = None,
 ) -> SweepResult:
     """Run a full sweep: for each sweep value, build the PointConfig, run the
     MC batch, and average each method's metric (the reference's
-    ``mean(error_*)`` reduction, ``plot_errorVSsnr.m:170-178``)."""
+    ``mean(error_*)`` reduction, ``plot_errorVSsnr.m:170-178``).
+
+    ``checkpoint_dir``: if given, per-point results are journaled there and
+    completed points are skipped on re-run (sweep-level resume — the
+    checkpoint/resume capability the reference lacks, SURVEY.md §5).
+    """
+    import os
+
     t0 = time.time()
     curves: Dict[str, List[float]] = {}
     for i, val in enumerate(sweep_values):
-        pc = point_fn(val)
-        nv = noise_fn(val)
-        out = run_point(pc, nv, n_mc, seed=seed, sweep_index=i, mesh=mesh)
-        for m, errs in out.items():
-            curves.setdefault(m, []).append(float(np.mean(errs)))
+        ckpt = (
+            os.path.join(checkpoint_dir, f"{name}.{sweep_name}.{i}.json")
+            if checkpoint_dir
+            else None
+        )
+        if ckpt and os.path.exists(ckpt):
+            with open(ckpt) as f:
+                point = json.load(f)
+        else:
+            pc = point_fn(val)
+            nv = noise_fn(val)
+            out = run_point(pc, nv, n_mc, seed=seed, sweep_index=i, mesh=mesh)
+            point = {m: float(np.mean(errs)) for m, errs in out.items()}
+            if ckpt:
+                os.makedirs(checkpoint_dir, exist_ok=True)
+                with open(ckpt, "w") as f:
+                    json.dump(point, f)
+        for m, mean_err in point.items():
+            curves.setdefault(m, []).append(mean_err)
         if verbose:
-            msg = ", ".join(f"{m}={curves[m][-1]:.4g}" for m in sorted(out))
+            msg = ", ".join(f"{m}={point[m]:.4g}" for m in sorted(point))
             print(f"[{name}] {sweep_name}={val}: {msg}")
     return SweepResult(
         name=name,

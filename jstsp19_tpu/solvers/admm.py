@@ -27,10 +27,24 @@ from jstsp19_tpu.solvers.lowrank import svt
 from jstsp19_tpu.solvers.sparse import soft_threshold
 
 
+class AdmmState(NamedTuple):
+    """Full ADMM iterate — returned for warm restarts (the reference's GAMP
+    ``state`` in/out pattern, ``BiGAMP.m:1-2,25-26`` / ``test/warmStart``)."""
+
+    X: jnp.ndarray
+    V1: jnp.ndarray
+    V2: jnp.ndarray
+    C: jnp.ndarray
+    Y: jnp.ndarray
+    S: jnp.ndarray  # thresholded sparse code (used in the X-update)
+    v: jnp.ndarray  # pre-threshold code (steepest-descent iterate)
+
+
 class AdmmResult(NamedTuple):
     S: jnp.ndarray  # (Gr, K) beamspace estimate (post soft-threshold)
     Y: jnp.ndarray  # (N, M) completed low-rank observation estimate
     convergence: Optional[jnp.ndarray]  # (Imax, 3) residual log, or None
+    state: Optional["AdmmState"] = None  # full final iterate (warm restart)
 
 
 def _sq_spectral(X):
@@ -79,6 +93,7 @@ def proposed_admm(
     support_step: int = 5,
     track_convergence: bool = False,
     conv_norm: str = "spectral",
+    init_state: Optional[AdmmState] = None,
 ) -> AdmmResult:
     """Joint matrix-completion + beamspace-sparse ADMM.
 
@@ -100,8 +115,10 @@ def proposed_admm(
       track_convergence: log (ε1, ε2, ε3) per iteration
          (``proposed_algorithm.m:67-69``); ε-norm selectable ('spectral'
          matches MATLAB ``norm``, 'fro' is cheaper).
+      init_state: optional :class:`AdmmState` to warm-start from (resume /
+         continuation across Imax chunks).
 
-    Returns :class:`AdmmResult`.
+    Returns :class:`AdmmResult` (with the full final state for restarts).
     """
     N, M = subY.shape
     Gr = A.shape[1]
@@ -132,16 +149,8 @@ def proposed_admm(
 
     zeros_nm = jnp.zeros((N, M), cdt)
 
-    class State(NamedTuple):
-        X: jnp.ndarray
-        V1: jnp.ndarray
-        V2: jnp.ndarray
-        C: jnp.ndarray
-        Y: jnp.ndarray
-        S: jnp.ndarray  # thresholded sparse code (used in the X-update)
-        v: jnp.ndarray  # pre-threshold code (steepest-descent iterate)
-
-    init = State(
+    State = AdmmState
+    init = init_state if init_state is not None else State(
         X=zeros_nm,
         V1=zeros_nm,
         V2=zeros_nm,
@@ -196,7 +205,12 @@ def proposed_admm(
         return State(X, V1, V2, C, Y, S, v), conv
 
     final, conv = jax.lax.scan(body, init, jnp.arange(Imax))
-    return AdmmResult(S=final.S, Y=final.Y, convergence=conv if track_convergence else None)
+    return AdmmResult(
+        S=final.S,
+        Y=final.Y,
+        convergence=conv if track_convergence else None,
+        state=final,
+    )
 
 
 def proposed_admm_angles(

@@ -117,3 +117,18 @@ def test_admm_hyperparams_match_reference_recipe(key):
     ev = np.linalg.eigvalsh(Y.conj().T @ Y)
     ref_rho = np.sqrt(ev[-6] / np.linalg.norm(Y, "fro") ** 2)
     np.testing.assert_allclose(float(rho), ref_rho, rtol=1e-3)
+
+
+def test_admm_warm_restart_continuation(key):
+    # 60 iterations == 30 + 30-with-warm-start (the GAMP `state` warm-start
+    # pattern, BiGAMP.m:1-2 / test/warmStart)
+    ch, obs, A, B = _setup(key, snr_db=10.0)
+    tau_Y, tau_S, rho = admm_hyperparams(obs.Y, ch.Zbar)
+    full = proposed_admm(obs.Y, obs.Omega, A, B, 60, tau_Y, tau_S, rho)
+    half = proposed_admm(obs.Y, obs.Omega, A, B, 30, tau_Y, tau_S, rho)
+    resumed = proposed_admm(
+        obs.Y, obs.Omega, A, B, 30, tau_Y, tau_S, rho, init_state=half.state
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.S), np.asarray(full.S), atol=2e-5
+    )

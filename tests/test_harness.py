@@ -69,3 +69,22 @@ def test_admmiters_residual_decays():
     res = get_experiment("error_vs_admmiters")(n_mc=2, Imax=40)
     eps1 = np.asarray(res.curves["eps1"])
     assert eps1[-1] < eps1[2]
+
+
+def test_run_sweep_checkpoint_resume(tmp_path):
+    import json as _json
+
+    pc = PointConfig(Nr=16, Mr_e=16, Gr=16, T=5, Imax=5, num_nonzero=5,
+                     methods=("proposed",))
+    kw = dict(
+        sweep_name="snr_db", sweep_values=[0, 10],
+        point_fn=lambda s: pc, noise_fn=lambda s: 10 ** (-s / 10),
+        n_mc=2, verbose=False, checkpoint_dir=str(tmp_path),
+    )
+    res1 = run_sweep("ckpt_test", **kw)
+    # tamper with the journal: resumed run must read it instead of recomputing
+    p = tmp_path / "ckpt_test.snr_db.0.json"
+    _json.dump({"proposed": 0.123}, open(p, "w"))
+    res2 = run_sweep("ckpt_test", **kw)
+    assert res2.curves["proposed"][0] == 0.123
+    assert res2.curves["proposed"][1] == res1.curves["proposed"][1]
