@@ -1,4 +1,11 @@
-from jstsp19_tpu.ops.base import LinOp, MatrixOp, ScaledOp, ComposedOp  # noqa: F401
+from jstsp19_tpu.ops.base import (  # noqa: F401
+    LinOp,
+    MatrixOp,
+    ScaledOp,
+    ComposedOp,
+    ConcatOp,
+    BlockDiagOp,
+)
 from jstsp19_tpu.ops.kron import KronDictOp  # noqa: F401
 from jstsp19_tpu.ops.masked import MaskOp, DiagOp  # noqa: F401
 from jstsp19_tpu.ops.fourier import DFTOp, FWHTOp, fwht, ToeplitzOp  # noqa: F401

@@ -174,3 +174,71 @@ class ComposedOp(LinOp):
 
 
 _register(ComposedOp, ("outer", "inner"))
+
+
+@dataclasses.dataclass(frozen=True)
+class ConcatOp(LinOp):
+    """Vertical stack [A1; A2] on a shared input (the ``LinTransConcat``
+    analog): mv returns a tuple of outputs, rmv sums the adjoints."""
+
+    ops: Tuple[LinOp, ...]
+
+    @property
+    def in_shape(self):
+        return self.ops[0].in_shape
+
+    @property
+    def out_shape(self):
+        return tuple(op.out_shape for op in self.ops)
+
+    def mv(self, x):
+        return tuple(op.mv(x) for op in self.ops)
+
+    def rmv(self, ys):
+        out = self.ops[0].rmv(ys[0])
+        for op, y in zip(self.ops[1:], ys[1:]):
+            out = out + op.rmv(y)
+        return out
+
+    def sq_mv(self, x):
+        return tuple(op.sq_mv(x) for op in self.ops)
+
+    def sq_rmv(self, ys):
+        out = self.ops[0].sq_rmv(ys[0])
+        for op, y in zip(self.ops[1:], ys[1:]):
+            out = out + op.sq_rmv(y)
+        return out
+
+
+_register(ConcatOp, ("ops",))
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockDiagOp(LinOp):
+    """Block-diagonal operator over a leading block axis (the
+    ``BlkdiagLinTrans`` analog): per-block matrices applied batched."""
+
+    A: jnp.ndarray  # (nblocks, m, n)
+
+    @property
+    def in_shape(self):
+        return (self.A.shape[0], self.A.shape[2])
+
+    @property
+    def out_shape(self):
+        return (self.A.shape[0], self.A.shape[1])
+
+    def mv(self, x):
+        return jnp.einsum("bmn,bn->bm", self.A, x)
+
+    def rmv(self, y):
+        return jnp.einsum("bmn,bm->bn", self.A.conj(), y)
+
+    def sq_mv(self, x):
+        return jnp.einsum("bmn,bn->bm", jnp.abs(self.A) ** 2, x)
+
+    def sq_rmv(self, y):
+        return jnp.einsum("bmn,bm->bn", jnp.abs(self.A) ** 2, y)
+
+
+_register(BlockDiagOp, ("A",))

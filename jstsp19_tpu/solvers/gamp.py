@@ -111,3 +111,32 @@ def fista(y, op, lam, nit: int = 100, lipschitz=None):
 
     (x, z, t), _ = jax.lax.scan(body, (x, z, t), None, length=nit)
     return x
+
+
+@functools.partial(jax.jit, static_argnames=("nit",))
+def amp(y, op, prior, nit: int = 50):
+    """Plain AMP with Onsager correction (the ``ampEst.m`` capability) for
+    ``y = op.mv(x) + w`` with an i.i.d.-subgaussian operator of unit-norm
+    columns; variance tracked by the scalar state of the standard AMP
+    recursion."""
+    M = 1
+    for s in op.out_shape:
+        M *= s
+    N = 1
+    for s in op.in_shape:
+        N *= s
+    delta = M / N
+    x = jnp.zeros(op.in_shape, jnp.complex64)
+    z = y
+
+    def body(carry, _):
+        x, z, tau2_prev = carry
+        tau2 = jnp.mean(jnp.abs(z) ** 2)
+        r = x + op.rmv(z)
+        x_new, xvar = prior.estim(r, tau2 / delta)
+        onsager = jnp.mean(xvar) / (tau2 / delta) / delta
+        z_new = y - op.mv(x_new) + z * onsager
+        return (x_new, z_new, tau2), None
+
+    (x, z, _), _ = jax.lax.scan(body, (x, z, jnp.asarray(1.0)), None, length=nit)
+    return x

@@ -65,3 +65,17 @@ def test_fista_recovers_sparse_vector(key):
     xh = fista(y, op, lam=0.002, nit=300)
     nmse = float(jnp.sum(jnp.abs(xh - x) ** 2) / jnp.sum(jnp.abs(x) ** 2))
     assert nmse < 0.05, nmse
+
+
+def test_amp_recovers_sparse_vector(key):
+    from jstsp19_tpu.solvers.gamp import amp
+
+    A, x, y, nv, beta = _sparse_problem(key, m=200, n=400, k=15, snr_db=30.0)
+    op = MatrixOp(A)
+    prior = SparsePrior(
+        CAwgnPrior(jnp.asarray(0.0 + 0j), jnp.asarray(1.0 / beta, jnp.float32)),
+        jnp.asarray(beta, jnp.float32),
+    )
+    xh = amp(y, op, prior, nit=60)
+    nmse = float(jnp.sum(jnp.abs(xh - x) ** 2) / jnp.sum(jnp.abs(x) ** 2))
+    assert nmse < 0.05, nmse

@@ -169,3 +169,30 @@ def test_sq_ops_nonnegative(key):
     np.testing.assert_allclose(
         np.asarray(op.sq_mv(x)), np.abs(np.asarray(A)) ** 2 @ np.asarray(x), atol=1e-5
     )
+
+
+def test_blockdiag_op(key):
+    from jstsp19_tpu.ops import BlockDiagOp
+
+    A = crandn(key, (3, 5, 4))
+    op = BlockDiagOp(A)
+    check_adjoint(op, jax.random.fold_in(key, 1))
+    x = crandn(jax.random.fold_in(key, 2), (3, 4))
+    ref = np.stack([np.asarray(A[b]) @ np.asarray(x[b]) for b in range(3)])
+    np.testing.assert_allclose(np.asarray(op.mv(x)), ref, atol=1e-5)
+
+
+def test_concat_op(key):
+    from jstsp19_tpu.ops import ConcatOp
+
+    A1 = crandn(key, (6, 4))
+    A2 = crandn(jax.random.fold_in(key, 1), (3, 4))
+    op = ConcatOp((MatrixOp(A1), MatrixOp(A2)))
+    x = crandn(jax.random.fold_in(key, 2), (4,))
+    y1, y2 = op.mv(x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(A1) @ np.asarray(x), atol=1e-5)
+    # adjoint identity over the stacked output
+    ys = (crandn(jax.random.fold_in(key, 3), (6,)), crandn(jax.random.fold_in(key, 4), (3,)))
+    lhs = inner(ys[0], y1) + inner(ys[1], y2)
+    rhs = inner(op.rmv(ys), x)
+    assert abs(lhs - rhs) < 1e-4 * (1 + abs(lhs))
