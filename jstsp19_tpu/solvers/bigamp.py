@@ -41,13 +41,18 @@ def bigamp(
     nit: int = 50,
     step: float = 0.7,
     var_floor: float = 1e-9,
+    likelihood=None,
+    init_A=None,
+    init_X=None,
 ) -> BigAmpResult:
     """Run BiG-AMP on (masked) observations ``Y ≈ mask ∘ (A·X)``.
 
     Y: (L, M); mask: (L, M) in {0,1} (all-ones = full observation);
     ``key`` seeds the random factor initialization (the bilinear problem is
     invariant to A·X ↦ (A·G)(G⁻¹·X), so the output is the product Z plus
-    one arbitrary factorization).
+    one arbitrary factorization).  ``likelihood``: optional elementwise
+    output estimator replacing the default AWGN (e.g.
+    :class:`~jstsp19_tpu.solvers.estim.OutlierLikelihood` for robust PCA).
     """
     L, M = Y.shape
     R = rank
@@ -55,13 +60,14 @@ def bigamp(
     rdt = jnp.float32
 
     kA, kX = jax.random.split(key)
-    # random init scaled to the prior's second moment
+    # random init scaled to the prior's second moment (or caller-provided
+    # spectral init — e.g. a winsorized truncated SVD for RPCA)
     ma, va = prior_a.init_moments()
     mx, vx = prior_x.init_moments()
-    Ahat = (
+    Ahat = init_A if init_A is not None else (
         jax.random.normal(kA, (L, R)) + 1j * jax.random.normal(jax.random.fold_in(kA, 1), (L, R))
     ).astype(cdt) * jnp.sqrt((jnp.abs(ma) ** 2 + va) / 2)
-    Xhat = (
+    Xhat = init_X if init_X is not None else (
         jax.random.normal(kX, (R, M)) + 1j * jax.random.normal(jax.random.fold_in(kX, 1), (R, M))
     ).astype(cdt) * jnp.sqrt((jnp.abs(mx) ** 2 + vx) / 2)
     Avar = jnp.asarray(va, rdt)
@@ -82,10 +88,13 @@ def bigamp(
         Phat = Ahat @ Xhat - Shat * zvar_bar
         zvar = jnp.maximum(zvar, var_floor)
 
-        # --- output nonlinear (masked AWGN) -----------------------------
-        gain = zvar / (zvar + nv)
-        Z0 = Phat + gain * (Y - Phat)
-        zvar0 = gain * nv
+        # --- output nonlinear (masked; AWGN or custom likelihood) -------
+        if likelihood is not None:
+            Z0, zvar0 = likelihood.estim(Phat, zvar)
+        else:
+            gain = zvar / (zvar + nv)
+            Z0 = Phat + gain * (Y - Phat)
+            zvar0 = gain * nv
         # unobserved entries carry no information
         Z0 = m * Z0 + (1 - m) * Phat
         zvar0_eff = m * zvar0 + (1 - m) * zvar
@@ -130,3 +139,33 @@ def bigamp_mc(Y, mask, rank, noise_var, key, nit=100, step=0.7):
     pa = CAwgnPrior(jnp.asarray(0.0 + 0j), jnp.asarray(1.0))
     px = CAwgnPrior(jnp.asarray(0.0 + 0j), jnp.asarray(1.0))
     return bigamp(Y, mask, rank, pa, px, noise_var, key, nit=nit, step=step)
+
+
+def bigamp_rpca(Y, rank, noise_var, outlier_var, outlier_frac, key, nit=300, step=0.05):
+    """Robust PCA via BiG-AMP (the ``EMBiGAMP_RPCA`` capability): low-rank
+    plus sparse-outlier decomposition.  Returns the BigAmpResult; the
+    outlier field is ``Y − Z`` thresholded by the caller."""
+    from jstsp19_tpu.solvers.estim import CAwgnPrior, OutlierLikelihood
+
+    pa = CAwgnPrior(jnp.asarray(0.0 + 0j), jnp.asarray(1.0))
+    px = CAwgnPrior(jnp.asarray(0.0 + 0j), jnp.asarray(1.0))
+    lik = OutlierLikelihood(
+        Y,
+        jnp.asarray(noise_var, jnp.float32),
+        jnp.asarray(outlier_var, jnp.float32),
+        jnp.asarray(outlier_frac, jnp.float32),
+    )
+    mask = jnp.ones(Y.shape, jnp.float32)
+    # Spectral initialization robust to gross outliers: winsorize |Y| at
+    # 3x its median, truncated SVD -> rank-R factors (random init lets the
+    # bilinear recursion lock onto the outliers instead of the subspace).
+    mag = jnp.abs(Y)
+    med = jnp.median(mag)
+    Yw = jnp.where(mag > 3 * med, Y / jnp.maximum(mag, 1e-30) * 3 * med, Y)
+    U, sv, Vh = jnp.linalg.svd(Yw, full_matrices=False)
+    init_A = (U[:, :rank] * jnp.sqrt(sv[:rank])).astype(Y.dtype)
+    init_X = (jnp.sqrt(sv[:rank])[:, None] * Vh[:rank]).astype(Y.dtype)
+    return bigamp(
+        Y, mask, rank, pa, px, noise_var, key, nit=nit, step=step,
+        likelihood=lik, init_A=init_A, init_X=init_X,
+    )

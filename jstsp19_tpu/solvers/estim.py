@@ -265,3 +265,39 @@ class QuantizedLikelihood:
 
 
 _register(QuantizedLikelihood, ("lo", "hi"))
+
+
+@dataclasses.dataclass(frozen=True)
+class OutlierLikelihood:
+    """Robust AWGN: y = z + noise where noise is a two-component mixture
+    CN(0, wvar) w.p. (1−lam) and CN(0, wvar_out) w.p. lam — the
+    sparse-outlier observation model behind robust PCA (the
+    ``EMBiGAMP_RPCA`` capability).  Posterior moments of z ~ CN(phat, pvar)
+    via responsibility-weighted component posteriors."""
+
+    y: jnp.ndarray
+    wvar: jnp.ndarray
+    wvar_out: jnp.ndarray
+    lam: jnp.ndarray = 0.05
+
+    def estim(self, phat, pvar):
+        def comp(wv):
+            v = pvar + wv
+            loglike = -(jnp.log(jnp.pi) + jnp.log(v) + jnp.abs(self.y - phat) ** 2 / v)
+            gain = pvar / v
+            zhat = phat + gain * (self.y - phat)
+            zvar = wv * gain
+            return loglike, zhat, zvar
+
+        l0, z0, v0 = comp(self.wvar)
+        l1, z1, v1 = comp(self.wvar_out)
+        exparg = jnp.clip(
+            l1 - l0 + jnp.log(self.lam) - jnp.log1p(-self.lam), -_MAXARG, _MAXARG
+        )
+        r1 = 1.0 / (1.0 + jnp.exp(-exparg))  # responsibility of the outlier comp
+        zhat = (1 - r1) * z0 + r1 * z1
+        ez2 = (1 - r1) * (jnp.abs(z0) ** 2 + v0) + r1 * (jnp.abs(z1) ** 2 + v1)
+        return zhat, jnp.maximum(ez2 - jnp.abs(zhat) ** 2, 1e-12)
+
+
+_register(OutlierLikelihood, ("y", "wvar", "wvar_out", "lam"))

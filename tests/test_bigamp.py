@@ -47,3 +47,33 @@ def test_bigamp_dictionary_learning_sparse_codes():
     )
     nmse = float(jnp.sum(jnp.abs(res.Z - Z) ** 2) / jnp.sum(jnp.abs(Z) ** 2))
     assert nmse < 5e-2, nmse
+
+
+def test_bigamp_rpca_low_rank_plus_outliers():
+    from jstsp19_tpu.solvers.bigamp import bigamp_rpca
+
+    key = jax.random.key(2)
+    L, M, R = 40, 50, 2
+    A = prng.complex_normal(jax.random.fold_in(key, 0), (L, R))
+    X = prng.complex_normal(jax.random.fold_in(key, 1), (R, M))
+    Z = A @ X
+    # 5% gross outliers
+    out_mask = jax.random.uniform(jax.random.fold_in(key, 2), (L, M)) < 0.05
+    E = jnp.where(
+        out_mask,
+        prng.complex_normal(jax.random.fold_in(key, 3), (L, M), var=50.0),
+        0.0,
+    )
+    nv = 1e-3
+    Y = Z + E + prng.complex_normal(jax.random.fold_in(key, 4), (L, M), var=nv)
+    res = bigamp_rpca(Y, R, nv, outlier_var=50.0, outlier_frac=0.05,
+                      key=jax.random.fold_in(key, 5), nit=300)
+    nmse = float(jnp.sum(jnp.abs(res.Z - Z) ** 2) / jnp.sum(jnp.abs(Z) ** 2))
+    assert nmse < 5e-2, nmse
+    # plain (non-robust) completion on the same data is much worse
+    res_plain = bigamp_mc(Y, jnp.ones_like(Y.real), R, nv,
+                          jax.random.fold_in(key, 5), nit=300, step=0.5)
+    nmse_plain = float(
+        jnp.sum(jnp.abs(res_plain.Z - Z) ** 2) / jnp.sum(jnp.abs(Z) ** 2)
+    )
+    assert nmse < nmse_plain
