@@ -76,7 +76,7 @@ def admm_hyperparams(Y_obs: jnp.ndarray, Zbar_ref: jnp.ndarray, top_k: int = 6):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("Imax", "mode", "track_convergence", "conv_norm"),
+    static_argnames=("Imax", "mode", "track_convergence", "conv_norm", "svt_method"),
 )
 def proposed_admm(
     subY: jnp.ndarray,
@@ -94,6 +94,7 @@ def proposed_admm(
     track_convergence: bool = False,
     conv_norm: str = "spectral",
     init_state: Optional[AdmmState] = None,
+    svt_method: str = "eigh",
 ) -> AdmmResult:
     """Joint matrix-completion + beamspace-sparse ADMM.
 
@@ -117,6 +118,9 @@ def proposed_admm(
          matches MATLAB ``norm``, 'fro' is cheaper).
       init_state: optional :class:`AdmmState` to warm-start from (resume /
          continuation across Imax chunks).
+      svt_method: 'eigh' (XLA eigensolver) or 'jacobi' (batched
+         parallel-ordering Jacobi, ops/jacobi.py — eigh-free inner loop
+         that compiles to pure matmul scans; ~1e-3-accurate shrinkage).
 
     Returns :class:`AdmmResult` (with the full final state for restarts).
     """
@@ -160,9 +164,18 @@ def proposed_admm(
         v=jnp.zeros((Gr, K), cdt),
     )
 
+    if svt_method == "jacobi":
+        from jstsp19_tpu.ops.jacobi import svt_jacobi
+
+        svt_fn = lambda X, t: svt_jacobi(X, t, sweeps=8)
+    elif svt_method == "eigh":
+        svt_fn = svt
+    else:
+        raise ValueError(f"unknown svt_method {svt_method!r}")
+
     def body(st: State, i):
         # -- sub 1: nuclear-norm prox ------------------------------------
-        Y = svt(st.X - st.V1 / rho, tau_Y / rho)
+        Y = svt_fn(st.X - st.V1 / rho, tau_Y / rho)
 
         # -- sub 2: masked LS (diagonal solve) ---------------------------
         b = st.V1 + rho * Y + subY + st.V2 + rho * st.C + rho * (A @ st.S @ B)

@@ -132,3 +132,15 @@ def test_admm_warm_restart_continuation(key):
     np.testing.assert_allclose(
         np.asarray(resumed.S), np.asarray(full.S), atol=2e-5
     )
+
+
+def test_admm_jacobi_svt_matches_eigh(key):
+    ch, obs, A, B = _setup(key, snr_db=10.0)
+    tau_Y, tau_S, rho = admm_hyperparams(obs.Y, ch.Zbar)
+    r_e = proposed_admm(obs.Y, obs.Omega, A, B, 50, tau_Y, tau_S, rho)
+    r_j = proposed_admm(
+        obs.Y, obs.Omega, A, B, 50, tau_Y, tau_S, rho, svt_method="jacobi"
+    )
+    e_e = float(clamped_nmse(r_e.S, ch.Zbar))
+    e_j = float(clamped_nmse(r_j.S, ch.Zbar))
+    assert abs(e_e - e_j) < 0.02, (e_e, e_j)
