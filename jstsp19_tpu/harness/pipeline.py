@@ -58,6 +58,7 @@ class PointConfig:
     beamformer: str = "ZC"
     methods: Tuple[str, ...] = ("ls", "vamp", "omp_mmv", "proposed", "proposed_angles")
     admm_mode: str = "approximate"
+    svt_method: str = "eigh"  # 'jacobi' = eigh-free inner loop (ops/jacobi.py)
     vamp_nit: int = 100
     vamp_true_noise: bool = False  # reference passes sigma=1 (plot_errorVSsnr.m:100)
     rho_scale: float = 1.0  # plot_errorVSzy.m uses rho/2 (:65)
@@ -136,7 +137,7 @@ def realization_errors(key, pc: PointConfig, noise_var) -> Dict[str, jnp.ndarray
         if "proposed" in pc.methods:
             res = proposed_admm(
                 obs.Y, obs.Omega, A_p, B_p, pc.Imax, tau_Y, tau_S, rho,
-                mode=pc.admm_mode,
+                mode=pc.admm_mode, svt_method=pc.svt_method,
             )
             out["proposed"] = clamped_nmse(res.S, ch.Zbar)
         if "svt" in pc.methods or "tssr" in pc.methods:
@@ -157,7 +158,7 @@ def realization_errors(key, pc: PointConfig, noise_var) -> Dict[str, jnp.ndarray
             indx = jnp.argsort(-jnp.abs(ch.Zbar).reshape(-1))
             res_a = proposed_admm_angles(
                 obs.Y, obs.Omega, indx, A_p, B_p, pc.Imax, tau_Y, tau_S, rho,
-                mode=pc.admm_mode,
+                mode=pc.admm_mode, svt_method=pc.svt_method,
             )
             out["proposed_angles"] = clamped_nmse(res_a.S, ch.Zbar)
 
