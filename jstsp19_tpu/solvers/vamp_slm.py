@@ -111,3 +111,36 @@ def vamp_slm_se(
 
     _, mses = jax.lax.scan(body, gam1, None, length=nit)
     return mses
+
+
+def amp_se(
+    prior_sampler,
+    prior,
+    delta: float,
+    wvar,
+    nit: int = 50,
+    n_samples: int = 8192,
+    seed: int = 0,
+) -> jnp.ndarray:
+    """State evolution of AMP/GAMP for an i.i.d. unit-column operator and
+    AWGN output (the ``stateEvo/gampSE.m`` capability):
+
+        τ²_{t+1} = wvar + (1/δ)·E|η(X + τ_t·Z) − X|²
+
+    Returns the (nit,) sequence of predicted denoiser MSEs — compare with
+    the empirical MSE of :func:`jstsp19_tpu.solvers.gamp.amp`.
+    """
+    key = prng.experiment_key(seed)
+    x0 = prior_sampler(key, n_samples)
+    w = prng.complex_normal(jax.random.fold_in(key, 1), (n_samples,), var=1.0)
+
+    def body(tau2, _):
+        r = x0 + w * jnp.sqrt(tau2)
+        xhat, _ = prior.estim(r, tau2)
+        mse = jnp.mean(jnp.abs(xhat - x0) ** 2)
+        tau2_new = wvar + mse / delta
+        return tau2_new, mse
+
+    x2 = jnp.mean(jnp.abs(x0) ** 2)
+    _, mses = jax.lax.scan(body, wvar + x2 / delta, None, length=nit)
+    return mses

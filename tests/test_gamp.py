@@ -79,3 +79,35 @@ def test_amp_recovers_sparse_vector(key):
     xh = amp(y, op, prior, nit=60)
     nmse = float(jnp.sum(jnp.abs(xh - x) ** 2) / jnp.sum(jnp.abs(x) ** 2))
     assert nmse < 0.05, nmse
+
+
+def test_amp_matches_state_evolution(key):
+    """Empirical AMP MSE should track the gampSE-style state-evolution
+    prediction (the reference's strongest analytic oracle)."""
+    from jstsp19_tpu.solvers.gamp import amp
+    from jstsp19_tpu.solvers.vamp_slm import amp_se
+    from jstsp19_tpu.core import prng as _prng
+
+    m, n, k, snr_db = 256, 512, 25, 25.0
+    A, x, y, nv, beta = _sparse_problem(key, m=m, n=n, k=k, snr_db=snr_db)
+    op = MatrixOp(A)
+    prior = SparsePrior(
+        CAwgnPrior(jnp.asarray(0.0 + 0j), jnp.asarray(1.0 / beta, jnp.float32)),
+        jnp.asarray(beta, jnp.float32),
+    )
+    xh = amp(y, op, prior, nit=40)
+    emp = float(jnp.sum(jnp.abs(xh - x) ** 2) / n)
+
+    def sampler(kk, ns):
+        mask = jax.random.uniform(kk, (ns,)) < beta
+        return jnp.where(
+            mask,
+            _prng.complex_normal(jax.random.fold_in(kk, 1), (ns,), var=1 / beta),
+            0.0,
+        )
+
+    se = amp_se(sampler, prior, delta=m / n, wvar=jnp.asarray(nv), nit=40)
+    pred = float(se[-1])
+    # same order of magnitude at convergence (both ≈ the oracle MSE floor)
+    assert emp < 10 * pred + 1e-4, (emp, pred)
+    assert pred < 0.05
