@@ -42,7 +42,9 @@ REF_PROPOSED_NMSE_0DB = 0.12998  # errorVSsnr_angles.fig, Proposed @ 0 dB
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    profile = "--profile" in sys.argv
+    batch = int(args[0]) if args else 32
     pc = PointConfig(methods=("proposed",))
     noise_var = jnp.asarray(1.0, jnp.float32)  # SNR 0 dB
 
@@ -55,6 +57,14 @@ def main():
     t0 = time.time()
     errs = jax.block_until_ready(run(keys, noise_var))
     compile_and_first = time.time() - t0
+
+    if profile:
+        # jax.profiler trace of the steady-state batch (aux subsystem:
+        # tracing/profiling — open with TensorBoard or xprof)
+        with jax.profiler.trace("/tmp/jstsp19_tpu_trace"):
+            keys_p = prng.realization_keys(prng.experiment_key(99), 0, batch)
+            float(jnp.mean(run(keys_p, noise_var)))
+        print("[bench] profiler trace in /tmp/jstsp19_tpu_trace", file=sys.stderr)
 
     reps = 3
     best = float("inf")

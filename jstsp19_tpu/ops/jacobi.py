@@ -48,9 +48,7 @@ def jacobi_eigh(A: jnp.ndarray, sweeps: int = 10):
     """
     n = A.shape[-1]
     sched = jnp.asarray(_round_robin_schedule(n))  # (n-1, 2, n/2)
-    batch = A.shape[:-2]
     eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
-    half = n // 2
 
     def round_step(carry, pq):
         A, V = carry

@@ -130,13 +130,13 @@ def amp(y, op, prior, nit: int = 50):
     z = y
 
     def body(carry, _):
-        x, z, tau2_prev = carry
+        x, z = carry
         tau2 = jnp.mean(jnp.abs(z) ** 2)
         r = x + op.rmv(z)
         x_new, xvar = prior.estim(r, tau2 / delta)
         onsager = jnp.mean(xvar) / (tau2 / delta) / delta
         z_new = y - op.mv(x_new) + z * onsager
-        return (x_new, z_new, tau2), None
+        return (x_new, z_new), None
 
-    (x, z, _), _ = jax.lax.scan(body, (x, z, jnp.asarray(1.0)), None, length=nit)
+    (x, z), _ = jax.lax.scan(body, (x, z), None, length=nit)
     return x
