@@ -11,6 +11,23 @@ from jstsp19_tpu.solvers.estim import (  # noqa: F401
     CAwgnPrior,
     SparsePrior,
     CAwgnLikelihood,
+    AwgnPrior,
+    SoftThreshPrior,
+    CGMPrior,
+    LaplacePrior,
+    UnifPrior,
+    NNGMPrior,
+    SNIPEPrior,
+    EllpPrior,
+    DiscretePrior,
+    GroupSparsePrior,
+    ProbitLikelihood,
+    LogitLikelihood,
+    PoissonLikelihood,
+    QuantizedLikelihood,
+    OutlierLikelihood,
+    LaplaceLikelihood,
+    MagnitudeLikelihood,
 )
 from jstsp19_tpu.solvers.vamp import vamp_glm, vamp_mmwave  # noqa: F401
 from jstsp19_tpu.solvers.gamp import gamp, fista  # noqa: F401

@@ -11,6 +11,22 @@ Implemented (★ = on the jstsp19 experiment path):
   ★ CAwgnLikelihood   — AWGN output channel              (CAwgnEstimOut.m:100-112)
     AwgnPrior         — real Gaussian prior              (AwgnEstimIn.m)
     SoftThreshPrior   — Laplacian / soft-threshold MAP   (SoftThreshEstimIn.m)
+    CGMPrior          — circular Gaussian mixture        (GMEstimIn.m)
+    LaplacePrior      — Laplacian MMSE prior             (LaplaceEstimIn.m)
+    UnifPrior         — uniform prior on [a,b]           (UnifEstimIn.m)
+    NNGMPrior         — non-negative Gaussian mixture    (EMNNAMP's NNGMEstimIn.m)
+    SNIPEPrior        — sparsifying non-informative      (SNIPEstim.m)
+    EllpPrior         — l_p-norm MAP denoiser, p≤1       (EllpEstimIn.m)
+    DiscretePrior     — finite-alphabet prior            (DisScaEstim.m)
+    GroupSparsePrior  — group-shared Bernoulli slab      (turboGAMP group sparsity)
+    ProbitLikelihood  — binary probit channel            (ProbitEstimOut.m)
+    LogitLikelihood   — binary logistic channel          (LogitEstimOut.m)
+    PoissonLikelihood — count channel                    (PoissonEstim.m)
+    QuantizedLikelihood — few-bit-ADC interval channel
+    OutlierLikelihood — 2-comp Gaussian-mixture noise    (GaussMixEstimOut.m)
+    LaplaceLikelihood — Laplacian-noise channel          (LaplaceEstimOut.m)
+    MagnitudeLikelihood — magnitude-only (Rician) channel (ncCAwgnEstimOut.m,
+                          the PR-GAMP phase-retrieval observation)
 """
 from __future__ import annotations
 
@@ -27,6 +43,45 @@ def _register(cls, data_fields, meta_fields=()):
         cls, data_fields=list(data_fields), meta_fields=list(meta_fields)
     )
     return cls
+
+
+def _log_ndiff(a, b):
+    """log(Phi(b) − Phi(a)) for a ≤ b, stable in both tails.
+
+    Uses the lower-tail form log Phi(b) + log1p(−exp(log Phi(a) − log Phi(b)))
+    when the interval sits in the left half, and the mirrored upper-tail form
+    (Phi(b)−Phi(a) = Phi(−a)−Phi(−b)) when it sits in the right half.
+    """
+    logcdf = jax.scipy.stats.norm.logcdf
+    lo_b, lo_a = logcdf(b), logcdf(a)
+    lower = lo_b + jnp.log1p(-jnp.exp(jnp.minimum(lo_a - lo_b, -1e-20)))
+    up_a, up_b = logcdf(-a), logcdf(-b)
+    upper = up_a + jnp.log1p(-jnp.exp(jnp.minimum(up_b - up_a, -1e-20)))
+    return jnp.where(a + b > 0, upper, lower)
+
+
+def _tn_moments(phat, pvar, lo, hi):
+    """Moments of N(phat, pvar) truncated to [lo, hi].
+
+    Returns (mean, var, logZ) with logZ = log P(lo ≤ x ≤ hi); the pdf/mass
+    ratios are formed in the log domain so extreme truncation (Z → 0) stays
+    finite.  This is the single primitive behind the Unif prior, the
+    quantized-output channel, the non-negative GM prior, and the Laplacian
+    prior/likelihood half-line branches.
+    """
+    sig = jnp.sqrt(pvar)
+    a = (lo - phat) / sig
+    b = (hi - phat) / sig
+    logZ = _log_ndiff(a, b)
+    log_norm = -0.5 * jnp.log(2 * jnp.pi)
+    # phi(a)/Z and phi(b)/Z via exp(logpdf − logZ); ±inf endpoints give 0.
+    pa = jnp.where(jnp.isfinite(a), jnp.exp(log_norm - 0.5 * a**2 - logZ), 0.0)
+    pb = jnp.where(jnp.isfinite(b), jnp.exp(log_norm - 0.5 * b**2 - logZ), 0.0)
+    apa = jnp.where(jnp.isfinite(a), a * pa, 0.0)
+    bpb = jnp.where(jnp.isfinite(b), b * pb, 0.0)
+    mean = phat + sig * (pa - pb)
+    t = 1.0 + (apa - bpb) - (pa - pb) ** 2
+    return mean, jnp.maximum(pvar * t, 1e-30), logZ
 
 
 @dataclasses.dataclass(frozen=True)
@@ -250,18 +305,8 @@ class QuantizedLikelihood:
     hi: jnp.ndarray
 
     def estim(self, phat, pvar):
-        sig = jnp.sqrt(pvar)
-        a = (self.lo - phat) / sig
-        b = (self.hi - phat) / sig
-        # moments of the truncated normal via stable log-cdf differences
-        log_cdf_b = jax.scipy.stats.norm.logcdf(b)
-        log_cdf_a = jax.scipy.stats.norm.logcdf(a)
-        Z = jnp.maximum(jnp.exp(log_cdf_b) - jnp.exp(log_cdf_a), 1e-30)
-        pdf_a = jax.scipy.stats.norm.pdf(a)
-        pdf_b = jax.scipy.stats.norm.pdf(b)
-        zhat = phat + sig * (pdf_a - pdf_b) / Z
-        t = 1.0 + (a * pdf_a - b * pdf_b) / Z - ((pdf_a - pdf_b) / Z) ** 2
-        return zhat, jnp.maximum(pvar * t, 1e-12)
+        zhat, zvar, _ = _tn_moments(phat, pvar, self.lo, self.hi)
+        return zhat, jnp.maximum(zvar, 1e-12)
 
 
 _register(QuantizedLikelihood, ("lo", "hi"))
@@ -301,3 +346,347 @@ class OutlierLikelihood:
 
 
 _register(OutlierLikelihood, ("y", "wvar", "wvar_out", "lam"))
+
+
+@dataclasses.dataclass(frozen=True)
+class LaplacePrior:
+    """Laplacian MMSE prior p(x) = (lam/2)·exp(−lam|x|), real x — the
+    ``LaplaceEstimIn.m`` analog (exact posterior, not the soft-threshold MAP
+    of :class:`SoftThreshPrior`).
+
+    With r = x + N(0, rvar) the posterior splits into two half-line
+    truncated Gaussians: on x ≥ 0 it is TN(r − lam·rvar, rvar, [0,∞)) with
+    log-weight −lam·r + log Phi((r − lam·rvar)/sqrt(rvar)); mirrored on
+    x ≤ 0.  (The common factor exp(lam²·rvar/2) cancels in the softmax.)
+    """
+
+    lam: jnp.ndarray = 1.0
+
+    def estim(self, rhat, rvar):
+        lam = self.lam
+        sig = jnp.sqrt(rvar)
+        mp = rhat - lam * rvar  # positive-branch untruncated mean
+        mm = rhat + lam * rvar
+        logcdf = jax.scipy.stats.norm.logcdf
+        logw_p = -lam * rhat + logcdf(mp / sig)
+        logw_m = lam * rhat + logcdf(-mm / sig)
+        wmax = jnp.maximum(logw_p, logw_m)
+        wp = jnp.exp(logw_p - wmax)
+        wm = jnp.exp(logw_m - wmax)
+        pi_p = wp / (wp + wm)
+        mean_p, var_p, _ = _tn_moments(mp, rvar, 0.0, jnp.inf)
+        mean_m, var_m, _ = _tn_moments(mm, rvar, -jnp.inf, 0.0)
+        xhat = pi_p * mean_p + (1 - pi_p) * mean_m
+        ex2 = pi_p * (mean_p**2 + var_p) + (1 - pi_p) * (mean_m**2 + var_m)
+        return xhat, jnp.maximum(ex2 - xhat**2, 1e-30)
+
+    def init_moments(self):
+        return jnp.zeros(()), 2.0 / self.lam**2
+
+
+_register(LaplacePrior, ("lam",))
+
+
+@dataclasses.dataclass(frozen=True)
+class UnifPrior:
+    """Uniform prior x ~ U[lo, hi], real — the ``UnifEstimIn.m`` analog.
+    Posterior from r = x + N(0, rvar) is the truncated normal on [lo, hi]."""
+
+    lo: jnp.ndarray = 0.0
+    hi: jnp.ndarray = 1.0
+
+    def estim(self, rhat, rvar):
+        xhat, xvar, _ = _tn_moments(rhat, rvar, self.lo, self.hi)
+        return xhat, xvar
+
+    def init_moments(self):
+        return (self.lo + self.hi) / 2.0, (self.hi - self.lo) ** 2 / 12.0
+
+
+_register(UnifPrior, ("lo", "hi"))
+
+
+@dataclasses.dataclass(frozen=True)
+class NNGMPrior:
+    """Non-negative (Bernoulli–truncated-)Gaussian-mixture prior, real x —
+    the estimator behind the reference's EM-NN-AMP
+    (``MPbased_solvers/EMNNAMP/``): x = 0 w.p. (1−p1), else a mixture
+    Σ_k w_k·N(mu_k, v_k) truncated to x ≥ 0.
+
+    Component posteriors are truncated normals on [0,∞); each component's
+    responsibility includes its truncation mass via the logZ returned by
+    :func:`_tn_moments`.  Set ``p1 = 1`` for the dense non-negative prior.
+    """
+
+    weights: jnp.ndarray  # (K,)
+    means: jnp.ndarray  # (K,)
+    variances: jnp.ndarray  # (K,)
+    p1: jnp.ndarray = 1.0
+
+    def estim(self, rhat, rvar):
+        r = rhat[..., None]
+        rv = rvar[..., None] if hasattr(rvar, "ndim") and jnp.ndim(rvar) else rvar
+        v = self.variances + rv
+        # untruncated component posterior N(m_k, s_k) on x
+        gain = self.variances / v
+        m = gain * (r - self.means) + self.means
+        s = gain * rv * jnp.ones_like(m)
+        mean_k, var_k, logZ_k = _tn_moments(m, s, 0.0, jnp.inf)
+        # evidence of comp k: N(r; mu_k, v)·Z_k / Phi(mu_k/sqrt(v_k)) —
+        # the prior-side truncation mass renormalizes each component.
+        logcdf = jax.scipy.stats.norm.logcdf
+        log_ev = (
+            -0.5 * (jnp.log(2 * jnp.pi) + jnp.log(v) + (r - self.means) ** 2 / v)
+            + logZ_k
+            - logcdf(self.means / jnp.sqrt(self.variances))
+        )
+        logw = jnp.log(self.weights) + log_ev
+        log_slab = jax.scipy.special.logsumexp(logw, axis=-1)
+        resp = jnp.exp(logw - log_slab[..., None])
+        slab_mean = jnp.sum(resp * mean_k, axis=-1)
+        slab_ex2 = jnp.sum(resp * (mean_k**2 + var_k), axis=-1)
+        # spike/slab mixing (p1 = 1 short-circuits to the slab)
+        log_spike = -0.5 * (jnp.log(2 * jnp.pi) + jnp.log(rvar) + rhat**2 / rvar)
+        exparg = jnp.clip(
+            log_spike - log_slab + jnp.log1p(-jnp.minimum(self.p1, 1 - 1e-12))
+            - jnp.log(self.p1),
+            -_MAXARG,
+            _MAXARG,
+        )
+        py1 = 1.0 / (1.0 + jnp.exp(exparg))
+        py1 = jnp.where(self.p1 >= 1.0, 1.0, py1)
+        xhat = py1 * slab_mean
+        ex2 = py1 * slab_ex2
+        return xhat, jnp.maximum(ex2 - xhat**2, 1e-30)
+
+    def init_moments(self):
+        mean_k, var_k, _ = _tn_moments(self.means, self.variances, 0.0, jnp.inf)
+        m = self.p1 * jnp.sum(self.weights * mean_k)
+        ex2 = self.p1 * jnp.sum(self.weights * (mean_k**2 + var_k))
+        return m, jnp.maximum(ex2 - m**2, 1e-30)
+
+
+_register(NNGMPrior, ("weights", "means", "variances", "p1"))
+
+
+@dataclasses.dataclass(frozen=True)
+class SNIPEPrior:
+    """SNIPE — sparsifying non-informative parameter estimator
+    (``main/SNIPEstim.m``): the limit of a Bernoulli×flat-slab prior.
+    Posterior is a point mass at 0 w.p. (1−g) and N(rhat, rvar) w.p. g,
+    with gain g = sigmoid(|rhat|²/(c·rvar) − omega), c = 2 for real r and
+    1 for complex (circular) r."""
+
+    omega: jnp.ndarray = 2.0
+
+    def estim(self, rhat, rvar):
+        c = 1.0 if jnp.iscomplexobj(rhat) else 2.0
+        exparg = jnp.clip(
+            jnp.abs(rhat) ** 2 / (c * rvar) - self.omega, -_MAXARG, _MAXARG
+        )
+        g = 1.0 / (1.0 + jnp.exp(-exparg))
+        xhat = g * rhat
+        ex2 = g * (jnp.abs(rhat) ** 2 + rvar)
+        return xhat, jnp.maximum(ex2 - jnp.abs(xhat) ** 2, 1e-30)
+
+    def init_moments(self):
+        return jnp.zeros(()), jnp.ones(())
+
+
+_register(SNIPEPrior, ("omega",))
+
+
+@dataclasses.dataclass(frozen=True)
+class EllpPrior:
+    """l_p-norm MAP denoiser, 0 < p ≤ 1 (``main/EllpEstimIn.m``):
+    prox of lam·|x|^p by majorization — one reweighted soft-threshold step
+    with the weight lam·p·|rhat|^{p−1} evaluated at the pseudo-data
+    (IRL1 with a single inner step; exact at p = 1)."""
+
+    lam: jnp.ndarray = 1.0
+    p: jnp.ndarray = 1.0
+
+    def estim(self, rhat, rvar):
+        mag = jnp.abs(rhat)
+        w = self.lam * self.p * jnp.maximum(mag, 1e-12) ** (self.p - 1.0)
+        thresh = w * rvar
+        shrunk = jnp.maximum(mag - thresh, 0.0)
+        xhat = jnp.where(mag > 0, rhat / jnp.maximum(mag, 1e-30) * shrunk, 0.0)
+        active = (shrunk > 0).astype(jnp.float32)
+        return xhat, jnp.maximum(rvar * active, 1e-30)
+
+    def init_moments(self):
+        return jnp.zeros(()), 2.0 / self.lam**2
+
+
+_register(EllpPrior, ("lam", "p"))
+
+
+@dataclasses.dataclass(frozen=True)
+class DiscretePrior:
+    """Finite-alphabet prior x ∈ {a_k} w.p. w_k (``main/DisScaEstim.m``) —
+    e.g. a QAM constellation.  Posterior is the softmax over atoms; works
+    for real or complex alphabets."""
+
+    atoms: jnp.ndarray  # (K,)
+    weights: jnp.ndarray  # (K,)
+
+    def estim(self, rhat, rvar):
+        r = rhat[..., None]
+        rv = rvar[..., None] if jnp.ndim(rvar) else rvar
+        if jnp.iscomplexobj(self.atoms) or jnp.iscomplexobj(rhat):
+            loglike = -jnp.abs(r - self.atoms) ** 2 / rv
+        else:
+            loglike = -((r - self.atoms) ** 2) / (2.0 * rv)
+        logw = jnp.log(self.weights) + loglike
+        logw = logw - jax.scipy.special.logsumexp(logw, axis=-1, keepdims=True)
+        resp = jnp.exp(logw)
+        xhat = jnp.sum(resp * self.atoms, axis=-1)
+        ex2 = jnp.sum(resp * jnp.abs(self.atoms) ** 2, axis=-1)
+        return xhat, jnp.maximum(ex2 - jnp.abs(xhat) ** 2, 1e-30)
+
+    def init_moments(self):
+        m = jnp.sum(self.weights * self.atoms)
+        v = jnp.sum(self.weights * jnp.abs(self.atoms) ** 2) - jnp.abs(m) ** 2
+        return m, v
+
+
+_register(DiscretePrior, ("atoms", "weights"))
+
+
+@dataclasses.dataclass(frozen=True)
+class GroupSparsePrior:
+    """Group-shared Bernoulli spike-slab: the last axis of x is a group that
+    is active or inactive as a whole (the turboGAMP group-sparsity
+    capability).  The activity posterior pools the per-element
+    log-likelihood ratios over the group axis before the sigmoid."""
+
+    base: CAwgnPrior
+    p1: jnp.ndarray = 0.5
+
+    def estim(self, rhat, rvar):
+        rvar = jnp.maximum(rvar, jnp.finfo(jnp.float32).eps)
+        loglike1 = self.base.loglikey(rhat, rvar)
+        if jnp.iscomplexobj(rhat):
+            loglike0 = -(jnp.log(jnp.pi) + jnp.log(rvar) + jnp.abs(rhat) ** 2 / rvar)
+        else:
+            loglike0 = -0.5 * (jnp.log(2 * jnp.pi) + jnp.log(rvar) + rhat**2 / rvar)
+        # pool the evidence over the group (last) axis
+        pooled = jnp.sum(loglike0 - loglike1, axis=-1, keepdims=True)
+        exparg = jnp.clip(
+            pooled + jnp.log1p(-self.p1) - jnp.log(self.p1), -_MAXARG, _MAXARG
+        )
+        py1 = 1.0 / (1.0 + jnp.exp(exparg))
+        xhat1, xvar1 = self.base.estim(rhat, rvar)
+        xhat = py1 * xhat1
+        xvar = py1 * (jnp.abs(xhat1) ** 2 + xvar1) - jnp.abs(xhat) ** 2
+        return xhat, jnp.maximum(xvar, 1e-30)
+
+    def init_moments(self):
+        m1, v1 = self.base.init_moments()
+        xhat = self.p1 * m1
+        return xhat, self.p1 * (jnp.abs(m1) ** 2 + v1) - jnp.abs(xhat) ** 2
+
+
+_register(GroupSparsePrior, ("base", "p1"))
+
+
+# 17-node Gauss–Hermite rule for N(0,1) expectations (numpy at module scope).
+import numpy as _np
+
+_GH_X, _GH_W = _np.polynomial.hermite.hermgauss(17)
+_GH_X = _GH_X * _np.sqrt(2.0)  # nodes for unit-variance normal
+_GH_W = _GH_W / _np.sqrt(_np.pi)
+
+
+@dataclasses.dataclass(frozen=True)
+class LogitLikelihood:
+    """Binary logistic channel p(y=1|z) = sigmoid(scale·z), y ∈ {0,1}, real z
+    (``main/LogitEstimOut.m``).  Posterior moments of z ~ N(phat, pvar) by a
+    17-node Gauss–Hermite rule (static, jit-friendly — the reference uses the
+    same numerical-integration strategy)."""
+
+    y: jnp.ndarray
+    scale: jnp.ndarray = 1.0
+
+    def estim(self, phat, pvar):
+        sig = jnp.sqrt(pvar)
+        z = phat[..., None] + sig[..., None] * _GH_X  # (..., Q)
+        s = (2.0 * self.y - 1.0)[..., None]
+        loglike = -jnp.logaddexp(0.0, -s * self.scale * z)
+        logw = jnp.log(_GH_W) + loglike
+        logw = logw - jax.scipy.special.logsumexp(logw, axis=-1, keepdims=True)
+        w = jnp.exp(logw)
+        zhat = jnp.sum(w * z, axis=-1)
+        ez2 = jnp.sum(w * z**2, axis=-1)
+        return zhat, jnp.maximum(ez2 - zhat**2, 1e-12)
+
+
+_register(LogitLikelihood, ("y", "scale"))
+
+
+@dataclasses.dataclass(frozen=True)
+class LaplaceLikelihood:
+    """Laplacian-noise channel y = z + Laplace(lam), real z
+    (``main/LaplaceEstimOut.m``).  By symmetry u = y − z has the
+    :class:`LaplacePrior` posterior structure: the posterior of z given
+    z ~ N(phat, pvar) splits at z = y into two truncated Gaussians."""
+
+    y: jnp.ndarray
+    lam: jnp.ndarray = 1.0
+
+    def estim(self, phat, pvar):
+        lam = self.lam
+        sig = jnp.sqrt(pvar)
+        # z < y branch: noise u = y−z > 0 carries exp(−lam(y−z)) → shift +lam·pvar
+        mp = phat + lam * pvar
+        mm = phat - lam * pvar
+        logcdf = jax.scipy.stats.norm.logcdf
+        logw_p = lam * (phat - self.y) + logcdf((self.y - mp) / sig)  # z ≤ y
+        logw_m = lam * (self.y - phat) + logcdf(-(self.y - mm) / sig)  # z ≥ y
+        wmax = jnp.maximum(logw_p, logw_m)
+        wp = jnp.exp(logw_p - wmax)
+        wm = jnp.exp(logw_m - wmax)
+        pi_p = wp / (wp + wm)
+        mean_p, var_p, _ = _tn_moments(mp, pvar, -jnp.inf, self.y)
+        mean_m, var_m, _ = _tn_moments(mm, pvar, self.y, jnp.inf)
+        zhat = pi_p * mean_p + (1 - pi_p) * mean_m
+        ez2 = pi_p * (mean_p**2 + var_p) + (1 - pi_p) * (mean_m**2 + var_m)
+        return zhat, jnp.maximum(ez2 - zhat**2, 1e-12)
+
+
+_register(LaplaceLikelihood, ("y", "lam"))
+
+
+@dataclasses.dataclass(frozen=True)
+class MagnitudeLikelihood:
+    """Magnitude-only (noncoherent) channel y = |z + w|, w ~ CN(0, wvar) —
+    the PR-GAMP phase-retrieval observation (``main/ncCAwgnEstimOut.m``).
+
+    Closed-form posterior of z ~ CN(phat, pvar): with v = z + w, the phase
+    of v given y is von Mises with concentration kappa = 2·y·|phat|/(pvar+wvar)
+    and mean direction phat/|phat|, so E[v|y] = y·R(kappa)·phat/|phat| with
+    R = I1/I0 (computed via the exponentially-scaled ``i1e/i0e``); z|v is the
+    usual Gaussian conditional.  This gives
+      zhat = (wvar·phat + pvar·y·R·phat/|phat|) / (pvar + wvar)
+      zvar = pvar·wvar/(pvar+wvar) + (pvar/(pvar+wvar))²·y²·(1 − R²).
+    """
+
+    y: jnp.ndarray  # magnitudes, ≥ 0
+    wvar: jnp.ndarray
+
+    def estim(self, phat, pvar):
+        tot = pvar + self.wvar
+        mag_p = jnp.abs(phat)
+        direction = jnp.where(mag_p > 1e-30, phat / jnp.maximum(mag_p, 1e-30), 0.0)
+        kappa = 2.0 * self.y * mag_p / tot
+        R = jax.scipy.special.i1e(kappa) / jnp.maximum(
+            jax.scipy.special.i0e(kappa), 1e-30
+        )
+        g = pvar / tot
+        zhat = (1.0 - g) * phat + g * self.y * R * direction
+        zvar = pvar * self.wvar / tot + g**2 * self.y**2 * (1.0 - R**2)
+        return zhat, jnp.maximum(zvar, 1e-12)
+
+
+_register(MagnitudeLikelihood, ("y", "wvar"))
