@@ -30,7 +30,7 @@ from jstsp19_tpu.solvers.estim import (  # noqa: F401
     MagnitudeLikelihood,
 )
 from jstsp19_tpu.solvers.vamp import vamp_glm, vamp_mmwave  # noqa: F401
-from jstsp19_tpu.solvers.gamp import gamp, fista  # noqa: F401
+from jstsp19_tpu.solvers.gamp import gamp, fista, amp, sure_amp  # noqa: F401
 from jstsp19_tpu.solvers.vamp_slm import vamp_slm, vamp_slm_se  # noqa: F401
 from jstsp19_tpu.solvers.bigamp import bigamp, bigamp_mc  # noqa: F401
 from jstsp19_tpu.solvers.em import em_bg_vamp  # noqa: F401

@@ -27,7 +27,18 @@ class GampResult(NamedTuple):
     rvar: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("nit",))
+def _state_dtype(x0, yref):
+    """complex64 iff either the prior's initial moment or the observation
+    is complex; fully-real problems (e.g. non-negative priors with real or
+    interval observations) keep a real float32 state."""
+    if jnp.iscomplexobj(jnp.asarray(x0)):
+        return jnp.complex64
+    if yref is not None and jnp.iscomplexobj(yref):
+        return jnp.complex64
+    return jnp.float32
+
+
+@functools.partial(jax.jit, static_argnames=("nit", "dtype"))
 def gamp(
     prior,
     likelihood,
@@ -35,6 +46,7 @@ def gamp(
     nit: int = 50,
     step: float = 0.9,
     var_floor: float = 1e-12,
+    dtype=None,
 ) -> GampResult:
     """Sum-product GAMP for ``y ~ p(y | op.mv(x))``.
 
@@ -45,13 +57,13 @@ def gamp(
     stable on the workloads here).
     """
     x0, v0 = prior.init_moments()
-    xhat = jnp.broadcast_to(jnp.asarray(x0, jnp.complex64), op.in_shape).astype(
-        jnp.complex64
-    )
+    yref = getattr(likelihood, "y", getattr(likelihood, "lo", None))
+    xdtype = dtype if dtype is not None else _state_dtype(x0, yref)
+    xhat = jnp.broadcast_to(jnp.asarray(x0, xdtype), op.in_shape).astype(xdtype)
     xvar = jnp.broadcast_to(jnp.asarray(v0, jnp.float32), op.in_shape).astype(
         jnp.float32
     )
-    shat = jnp.zeros(op.out_shape, jnp.complex64)
+    shat = jnp.zeros(op.out_shape, xdtype)
 
     def body(carry, _):
         xhat, xvar, shat = carry
@@ -126,7 +138,8 @@ def amp(y, op, prior, nit: int = 50):
     for s in op.in_shape:
         N *= s
     delta = M / N
-    x = jnp.zeros(op.in_shape, jnp.complex64)
+    xdtype = _state_dtype(prior.init_moments()[0], y)
+    x = jnp.zeros(op.in_shape, xdtype)
     z = y
 
     def body(carry, _):
@@ -136,6 +149,67 @@ def amp(y, op, prior, nit: int = 50):
         x_new, xvar = prior.estim(r, tau2 / delta)
         onsager = jnp.mean(xvar) / (tau2 / delta) / delta
         z_new = y - op.mv(x_new) + z * onsager
+        return (x_new, z_new), None
+
+    (x, z), _ = jax.lax.scan(body, (x, z), None, length=nit)
+    return x
+
+
+def _sure_soft(r, v, tau_grid):
+    """SURE values of the (complex-aware) soft threshold over a threshold
+    grid: Stein's unbiased risk estimate of E‖η_τ(r) − x‖² given
+    r = x + noise(var v).  Complex entries count two real dimensions."""
+    mag = jnp.abs(r)
+    m = mag[..., None]
+    t = tau_grid
+    resid2 = jnp.minimum(m, t) ** 2
+    alive = (m > t).astype(jnp.float32)
+    if jnp.iscomplexobj(r):
+        div = alive * (2.0 - t / jnp.maximum(m, 1e-30))
+    else:
+        div = alive * 2.0
+    n = mag.size
+    return jnp.sum(resid2.reshape(-1, t.shape[-1]), axis=0) + v * (
+        jnp.sum(div.reshape(-1, t.shape[-1]), axis=0) - n
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("nit", "n_grid"))
+def sure_amp(y, op, nit: int = 50, n_grid: int = 32):
+    """AMP with a per-iteration SURE-optimal soft threshold — the
+    ``SURE_BAMP`` capability (``MPbased_solvers/SURE_BAMP/``): no prior
+    parameters to hand-tune; the threshold minimizing Stein's unbiased risk
+    estimate over a quantile grid of |r| is selected each iteration."""
+    M = 1
+    for s in op.out_shape:
+        M *= s
+    N = 1
+    for s in op.in_shape:
+        N *= s
+    delta = M / N
+    xdtype = jnp.complex64 if jnp.iscomplexobj(y) else jnp.float32
+    x = jnp.zeros(op.in_shape, xdtype)
+    z = y
+    qs = jnp.linspace(0.0, 1.0, n_grid)
+
+    def body(carry, _):
+        x, z = carry
+        tau2 = jnp.mean(jnp.abs(z) ** 2)
+        v = tau2 / delta
+        r = x + op.rmv(z)
+        grid = jnp.quantile(jnp.abs(r).reshape(-1), qs)
+        sure = _sure_soft(r, v, grid)
+        tau = grid[jnp.argmin(sure)]
+        mag = jnp.abs(r)
+        shrunk = jnp.maximum(mag - tau, 0.0)
+        x_new = jnp.where(mag > 0, r / jnp.maximum(mag, 1e-30) * shrunk, 0.0)
+        # empirical divergence for the Onsager term
+        alive = (mag > tau).astype(jnp.float32)
+        if jnp.iscomplexobj(y):
+            df = jnp.mean(alive * (1.0 - 0.5 * tau / jnp.maximum(mag, 1e-30)))
+        else:
+            df = jnp.mean(alive)
+        z_new = y - op.mv(x_new) + z * df / delta
         return (x_new, z_new), None
 
     (x, z), _ = jax.lax.scan(body, (x, z), None, length=nit)

@@ -111,3 +111,37 @@ def test_amp_matches_state_evolution(key):
     # same order of magnitude at convergence (both ≈ the oracle MSE floor)
     assert emp < 10 * pred + 1e-4, (emp, pred)
     assert pred < 0.05
+
+
+def test_sure_amp_recovers_sparse_vector(key):
+    """SURE-tuned AMP needs no prior parameters at all (SURE_BAMP parity)."""
+    from jstsp19_tpu.solvers.gamp import sure_amp
+
+    A, x, y, nv, beta = _sparse_problem(key, m=256, n=512, k=20, snr_db=30.0)
+    op = MatrixOp(A)
+    xh = sure_amp(y, op, nit=60)
+    nmse = float(jnp.sum(jnp.abs(xh - x) ** 2) / jnp.sum(jnp.abs(x) ** 2))
+    assert nmse < 0.05, nmse
+
+
+def test_gamp_real_nonneg_prior_keeps_real_state(key):
+    """A fully-real problem (non-negative spike-slab prior, real matrix and
+    observation) must run GAMP with a float32 state and recover the signal."""
+    from jstsp19_tpu.solvers.estim import NNGMPrior
+
+    m, n, k = 128, 256, 12
+    kA, kx, ki, kn = jax.random.split(key, 4)
+    A = (jax.random.normal(kA, (m, n)) / np.sqrt(m)).astype(jnp.float32)
+    idx = jax.random.choice(ki, n, (k,), replace=False)
+    amp_pos = jnp.abs(jax.random.normal(kx, (k,))) + 0.5
+    x = jnp.zeros((n,), jnp.float32).at[idx].set(amp_pos)
+    nv = 1e-4 * float(jnp.mean((A @ x) ** 2)) * m
+    y = A @ x + jnp.sqrt(nv) * jax.random.normal(kn, (m,))
+    prior = NNGMPrior(
+        jnp.asarray([1.0]), jnp.asarray([1.0]), jnp.asarray([1.0]), p1=k / n
+    )
+    lik = CAwgnLikelihood(y, jnp.asarray(nv, jnp.float32))
+    res = gamp(prior, lik, MatrixOp(A), nit=80)
+    assert not jnp.iscomplexobj(res.x)
+    nmse = float(jnp.sum((res.x - x) ** 2) / jnp.sum(x**2))
+    assert nmse < 0.05, nmse
