@@ -22,10 +22,10 @@ import numpy as np
 from jstsp19_tpu.core import prng
 from jstsp19_tpu.ops import MatrixOp, KronDictOp
 from jstsp19_tpu.solvers import (
-    omp, cosamp, fista, gamp, vamp_slm, em_bg_vamp,
+    omp, cosamp, fista, gamp, vamp_slm, em_bg_vamp, em_gm_vamp,
     CAwgnPrior, SparsePrior, CAwgnLikelihood,
 )
-from jstsp19_tpu.solvers.gamp import amp
+from jstsp19_tpu.solvers.gamp import amp, sure_amp
 
 
 def main():
@@ -57,7 +57,10 @@ def main():
         "CoSaMP": nmse(cosamp(A, y, k)),
         "FISTA": nmse(fista(y, op, lam=0.002, nit=300)),
         "AMP": nmse(amp(y, op, prior, nit=60)),
+        "SURE-AMP": nmse(sure_amp(y, op, nit=60)),  # no prior parameters
         "GAMP": nmse(gamp(prior, lik, op, nit=80).x),
+        # everything learned by EM (prior + noise), nothing hand-tuned
+        "EM-GM-VAMP": nmse(em_gm_vamp(y, op, n_components=3, n_em=8, nit=40).x),
     }
     # VAMP-SLM needs the kron-structured operator protocol; wrap as 1-col kron
     kop = KronDictOp(A, jnp.eye(1, dtype=A.dtype))

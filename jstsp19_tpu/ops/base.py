@@ -80,6 +80,22 @@ class MatrixOp(LinOp):
     def sq_rmv(self, y):
         return jnp.einsum("...mn,...m->...n", jnp.abs(self.A) ** 2, y)
 
+    # -- eigenbasis protocol (one-sided analog of KronDictOp's) ------------
+    def gram_in_eig(self):
+        """Eigen-factorization of AᴴA; (V, None, d) with the same
+        ``to_eigbasis``/``from_eigbasis`` call shape as KronDictOp so the
+        VAMP-SLM LMMSE stage works on dense matrices too."""
+        d, V = jnp.linalg.eigh(self.A.conj().T @ self.A)
+        return V, None, jnp.maximum(d, 0.0)
+
+    @staticmethod
+    def to_eigbasis(V, _unused, x):
+        return V.conj().T @ x
+
+    @staticmethod
+    def from_eigbasis(V, _unused, xt):
+        return V @ xt
+
 
 _register(MatrixOp, ("A",))
 

@@ -19,7 +19,15 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from jstsp19_tpu.solvers.estim import CAwgnPrior, CGMPrior, SparsePrior
+from jstsp19_tpu.solvers.estim import (
+    CAwgnLikelihood,
+    CAwgnPrior,
+    CGMPrior,
+    NNGMPrior,
+    SparsePrior,
+    _tn_moments,
+)
+from jstsp19_tpu.solvers.gamp import gamp
 from jstsp19_tpu.solvers.vamp_slm import vamp_slm
 
 
@@ -84,3 +92,200 @@ def em_bg_vamp(y, op, n_em: int = 8, nit: int = 30) -> EmGmResult:
     )
     res = vamp_slm(prior, y, op, gamw=1.0 / noise_var, nit=nit)
     return EmGmResult(x=res.x, prior=prior, noise_var=noise_var)
+
+
+class EmGmFullResult(NamedTuple):
+    x: jnp.ndarray
+    prior: SparsePrior  # SparsePrior(CGMPrior, p1)
+    noise_var: jnp.ndarray
+
+
+def _gm_responsibilities(prior: SparsePrior, r, rvar):
+    """Posterior activity py1 (spike vs slab) and per-component slab
+    responsibilities + posterior moments for a spike + complex-GM prior —
+    the sufficient statistics of the EM-GM-AMP M-step
+    (``EMGMAMP/EMGMAMP.m``, Vila & Schniter eqs. (19)-(25))."""
+    gm: CGMPrior = prior.base
+    rr = r[..., None]
+    rv = rvar[..., None] if jnp.ndim(rvar) else rvar
+    v = gm.variances + rv
+    loglike = -(jnp.log(jnp.pi) + jnp.log(v) + jnp.abs(rr - gm.means) ** 2 / v)
+    logw = jnp.log(gm.weights) + loglike
+    log_slab = jax.scipy.special.logsumexp(logw, axis=-1)
+    resp = jnp.exp(logw - log_slab[..., None])
+    log_spike = -(jnp.log(jnp.pi) + jnp.log(rvar) + jnp.abs(r) ** 2 / rvar)
+    exparg = jnp.clip(
+        log_spike - log_slab + jnp.log1p(-prior.p1) - jnp.log(prior.p1), -500, 500
+    )
+    py1 = 1.0 / (1.0 + jnp.exp(exparg))
+    gain = gm.variances / v
+    gamma = gain * (rr - gm.means) + gm.means  # per-comp posterior mean
+    nu = gain * rv  # per-comp posterior var
+    return py1, resp, gamma, nu
+
+
+def _gm_em_update(prior: SparsePrior, r, rvar):
+    py1, resp, gamma, nu = _gm_responsibilities(prior, r, rvar)
+    w = py1[..., None] * resp  # joint responsibility of (active, comp k)
+    mass_k = jnp.maximum(jnp.sum(w, axis=0), 1e-12)
+    weights = mass_k / jnp.maximum(jnp.sum(py1), 1e-12)
+    means = jnp.sum(w * gamma, axis=0) / mass_k
+    variances = jnp.maximum(
+        jnp.sum(w * (jnp.abs(gamma - means) ** 2 + nu), axis=0) / mass_k, 1e-10
+    )
+    p1 = jnp.clip(jnp.mean(py1), 1e-4, 1.0 - 1e-4)
+    weights = jnp.maximum(weights, 1e-8)
+    weights = weights / jnp.sum(weights)
+    return SparsePrior(CGMPrior(weights, means, variances), p1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_components", "n_em", "nit"))
+def em_gm_vamp(
+    y, op, n_components: int = 3, n_em: int = 10, nit: int = 30
+) -> EmGmFullResult:
+    """EM-learned spike + Gaussian-mixture prior VAMP — the full
+    ``EMGMAMP`` capability (``MPbased_solvers/EMGMAMP/EMGMAMP.m``): the
+    mixture weights, means, variances, activity rate, and noise variance
+    are all learned from the data by closed-form EM rounds around the
+    inner solver; nothing is hand-tuned.
+
+    Initialization follows the EMGMAMP recipe: noise from a 100:1 SNR
+    assumption, activity from the sampling ratio, zero-mean components
+    with geometrically spread variances normalized to the signal energy.
+    """
+    M = 1
+    for s in op.out_shape:
+        M *= s
+    N = 1
+    for s in op.in_shape:
+        N *= s
+    y_energy = jnp.mean(jnp.abs(y) ** 2)
+    noise_var = y_energy / 101.0
+    rho0 = jnp.asarray(min(0.5, max(0.05, M / N / 2)), jnp.float32)
+    sig_var = y_energy * N / M / rho0
+    spread = 2.0 ** jnp.arange(n_components, dtype=jnp.float32)
+    variances = sig_var * spread / jnp.mean(spread)
+    prior = SparsePrior(
+        CGMPrior(
+            jnp.full((n_components,), 1.0 / n_components),
+            jnp.zeros((n_components,), jnp.complex64),
+            variances,
+        ),
+        rho0,
+    )
+
+    def em_round(carry, _):
+        prior, noise_var = carry
+        res = vamp_slm(prior, y, op, gamw=1.0 / noise_var, nit=nit)
+        rvar = 1.0 / res.gam1
+        prior_new = _gm_em_update(prior, res.r1, rvar)
+        xhat, _ = prior_new.estim(res.r1, rvar)
+        resid = y - op.mv(xhat)
+        nv_new = jnp.maximum(jnp.mean(jnp.abs(resid) ** 2), 1e-10)
+        return (prior_new, nv_new), None
+
+    (prior, noise_var), _ = jax.lax.scan(
+        em_round, (prior, noise_var), None, length=n_em
+    )
+    res = vamp_slm(prior, y, op, gamw=1.0 / noise_var, nit=nit)
+    return EmGmFullResult(x=res.x, prior=prior, noise_var=noise_var)
+
+
+class EmNNGMResult(NamedTuple):
+    x: jnp.ndarray
+    prior: "NNGMPrior"
+    noise_var: jnp.ndarray
+
+
+def _nngm_em_update(prior, r, rvar):
+    """EM round for the non-negative spike + truncated-GM prior — the
+    moment-matching M-step of ``EMNNAMP`` (Vila & Schniter, EM-NN-AMP):
+    responsibilities and truncated-normal posterior moments per component.
+    """
+    gm = prior
+    rr = r[..., None]
+    rv = rvar[..., None] if jnp.ndim(rvar) else rvar
+    v = gm.variances + rv
+    gain = gm.variances / v
+    m = gain * (rr - gm.means) + gm.means
+    s = gain * rv * jnp.ones_like(m)
+    mean_k, var_k, logZ_k = _tn_moments(m, s, 0.0, jnp.inf)
+    logcdf = jax.scipy.stats.norm.logcdf
+    log_ev = (
+        -0.5 * (jnp.log(2 * jnp.pi) + jnp.log(v) + (rr - gm.means) ** 2 / v)
+        + logZ_k
+        - logcdf(gm.means / jnp.sqrt(gm.variances))
+    )
+    logw = jnp.log(gm.weights) + log_ev
+    log_slab = jax.scipy.special.logsumexp(logw, axis=-1)
+    resp = jnp.exp(logw - log_slab[..., None])
+    log_spike = -0.5 * (jnp.log(2 * jnp.pi) + jnp.log(rvar) + r**2 / rvar)
+    exparg = jnp.clip(
+        log_spike
+        - log_slab
+        + jnp.log1p(-jnp.minimum(prior.p1, 1 - 1e-12))
+        - jnp.log(prior.p1),
+        -500,
+        500,
+    )
+    py1 = 1.0 / (1.0 + jnp.exp(exparg))
+    w = py1[..., None] * resp
+    mass_k = jnp.maximum(jnp.sum(w, axis=0), 1e-12)
+    weights = mass_k / jnp.maximum(jnp.sum(py1), 1e-12)
+    means = jnp.sum(w * mean_k, axis=0) / mass_k
+    variances = jnp.maximum(
+        jnp.sum(w * ((mean_k - means) ** 2 + var_k), axis=0) / mass_k, 1e-10
+    )
+    weights = jnp.maximum(weights, 1e-8)
+    weights = weights / jnp.sum(weights)
+    p1 = jnp.clip(jnp.mean(py1), 1e-4, 1.0 - 1e-4)
+    return NNGMPrior(weights, means, variances, p1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_components", "n_em", "nit"))
+def em_nngm_gamp(
+    y, op, n_components: int = 3, n_em: int = 10, nit: int = 40
+) -> EmNNGMResult:
+    """EM non-negative GM AMP — the ``EMNNAMP`` capability
+    (``MPbased_solvers/EMNNAMP/EMNNAMP.m``): real non-negative sparse
+    recovery with all prior hyperparameters plus the noise variance learned
+    by EM around sum-product GAMP with the truncated-GM prior."""
+    M = 1
+    for s in op.out_shape:
+        M *= s
+    N = 1
+    for s in op.in_shape:
+        N *= s
+    y_energy = jnp.mean(y**2)
+    noise_var = y_energy / 101.0
+    rho0 = jnp.asarray(min(0.5, max(0.05, M / N / 2)), jnp.float32)
+    sig_ex2 = y_energy * N / M / rho0
+    # spread component means over [0, ~2·rms] with matched variances
+    ks = jnp.arange(1, n_components + 1, dtype=jnp.float32)
+    rms = jnp.sqrt(sig_ex2)
+    means = rms * ks / jnp.sqrt(jnp.mean(ks**2))
+    variances = jnp.full((n_components,), sig_ex2 / n_components)
+    prior = NNGMPrior(
+        jnp.full((n_components,), 1.0 / n_components), means, variances, rho0
+    )
+
+    def em_round(carry, _):
+        prior, noise_var = carry
+        res = gamp(
+            prior,
+            CAwgnLikelihood(y, noise_var),
+            op,
+            nit=nit,
+            dtype=jnp.float32,
+        )
+        prior_new = _nngm_em_update(prior, res.rhat, res.rvar)
+        xhat, _ = prior_new.estim(res.rhat, res.rvar)
+        resid = y - op.mv(xhat)
+        nv_new = jnp.maximum(jnp.mean(resid**2), 1e-10)
+        return (prior_new, nv_new), None
+
+    (prior, noise_var), _ = jax.lax.scan(
+        em_round, (prior, noise_var), None, length=n_em
+    )
+    res = gamp(prior, CAwgnLikelihood(y, noise_var), op, nit=nit, dtype=jnp.float32)
+    return EmNNGMResult(x=res.x, prior=prior, noise_var=noise_var)

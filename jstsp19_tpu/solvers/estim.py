@@ -217,6 +217,17 @@ class CGMPrior:
         ex2 = jnp.sum(resp * (jnp.abs(post_mean) ** 2 + post_var), axis=-1)
         return xhat, jnp.maximum(ex2 - jnp.abs(xhat) ** 2, 0.0)
 
+    def loglikey(self, rhat, rvar):
+        """log p(r) with r = x + CN(0, rvar) — mixture marginal, needed by
+        :class:`SparsePrior` spike/slab weighing."""
+        r = rhat[..., None]
+        rv = rvar[..., None] if jnp.ndim(rvar) else rvar
+        v = self.variances + rv
+        loglike = -(jnp.log(jnp.pi) + jnp.log(v) + jnp.abs(r - self.means) ** 2 / v)
+        return jax.scipy.special.logsumexp(
+            jnp.log(self.weights) + loglike, axis=-1
+        )
+
     def init_moments(self):
         m = jnp.sum(self.weights * self.means)
         v = jnp.sum(

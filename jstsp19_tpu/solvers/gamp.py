@@ -64,9 +64,11 @@ def gamp(
         jnp.float32
     )
     shat = jnp.zeros(op.out_shape, xdtype)
+    rhat0 = xhat
+    rvar0 = jnp.ones_like(xvar)
 
     def body(carry, _):
-        xhat, xvar, shat = carry
+        xhat, xvar, shat, _, _ = carry
         # output linear stage
         zvar = jnp.maximum(op.sq_mv(xvar), var_floor)
         phat = op.mv(xhat) - zvar * shat
@@ -82,12 +84,12 @@ def gamp(
         xhat_new, xvar_new = prior.estim(rhat, rvar)
         xhat_new = step * xhat_new + (1 - step) * xhat
         xvar_new = jnp.maximum(xvar_new, var_floor)
-        return (xhat_new, xvar_new, shat_new), None
+        return (xhat_new, xvar_new, shat_new, rhat, rvar), None
 
-    (xhat, xvar, shat), _ = jax.lax.scan(body, (xhat, xvar, shat), None, length=nit)
-    zvar = jnp.maximum(op.sq_mv(xvar), var_floor)
-    rvar = jnp.ones_like(xvar)
-    return GampResult(x=xhat, xvar=xvar, rhat=xhat, rvar=rvar)
+    (xhat, xvar, shat, rhat, rvar), _ = jax.lax.scan(
+        body, (xhat, xvar, shat, rhat0, rvar0), None, length=nit
+    )
+    return GampResult(x=xhat, xvar=xvar, rhat=rhat, rvar=rvar)
 
 
 @functools.partial(jax.jit, static_argnames=("nit",))

@@ -128,3 +128,149 @@ def turbo_markov_vamp(
         turbo_round, init, None, length=n_turbo
     )
     return TurboResult(x=best_x, p1=best_p1)
+
+
+def _gauss_markov_extrinsic(robs, obs_prec, alpha, sigma2):
+    """Extrinsic Gaussian messages of a stationary AR(1) (Gauss-Markov)
+    chain along axis 0 — the ``AmplitudeStruct`` Gauss-Markov capability of
+    turboGAMP (``turboGAMP/ClassDefs/GaussMarkov.m``).
+
+    Chain model: theta_t = (1-alpha)·theta_{t-1} + w_t with stationary
+    variance sigma2 (so var(w) = (1-(1-alpha)²)·sigma2).  ``robs`` are
+    per-element pseudo-observations of theta with precision ``obs_prec``
+    (zero precision = uninformative).  Returns (eta, kappa): the mean and
+    variance of each element's extrinsic Gaussian prior — the product of
+    the forward and backward chain messages, excluding the element's own
+    observation.
+    """
+    a = 1.0 - alpha
+    q = jnp.maximum((1.0 - a * a) * sigma2, 1e-12)
+
+    def _directional(robs_d, prec_d):
+        # message INTO node t from the past: predict of the filtered t-1
+        def step(carry, inp):
+            m_f, P_f = carry  # filtered posterior of previous node
+            r, lam = inp
+            m_pred = a * m_f
+            P_pred = a * a * P_f + q
+            # combine prediction with obs at current node -> filtered
+            prec_post = 1.0 / P_pred + lam
+            P_post = 1.0 / prec_post
+            m_post = P_post * (m_pred / P_pred + lam * r)
+            return (m_post, P_post), (m_pred, P_pred)
+
+        # carry init (0, sigma2): the predict step then hands node 0 the
+        # stationary prior (a²·sigma2 + q = sigma2); each scan step emits
+        # the predict-from-previous, i.e. the message INTO node t.
+        m0 = jnp.zeros(robs_d.shape[1:], robs_d.dtype)
+        P0 = jnp.full(robs_d.shape[1:], sigma2, jnp.float32)
+        _, (m_in, P_in) = jax.lax.scan(step, (m0, P0), (robs_d, prec_d))
+        return m_in, P_in
+
+    mf, Pf = _directional(robs, obs_prec)
+    mb_r, Pb_r = _directional(robs[::-1], obs_prec[::-1])
+    mb, Pb = mb_r[::-1], Pb_r[::-1]
+    # product of the two incoming Gaussian messages (precisions add)
+    prec = 1.0 / Pf + 1.0 / Pb - 1.0 / sigma2  # stationary prior counted twice
+    prec = jnp.maximum(prec, 1.0 / (10.0 * sigma2))
+    kappa = 1.0 / prec
+    eta = kappa * (mf / Pf + mb / Pb)
+    return eta, kappa
+
+
+@functools.partial(jax.jit, static_argnames=("n_turbo", "nit"))
+def turbo_gauss_markov_vamp(
+    y,
+    op,
+    sigma2,
+    gamw,
+    alpha: float = 0.1,
+    p1: float = 1.0,
+    n_turbo: int = 6,
+    nit: int = 30,
+) -> TurboResult:
+    """Turbo VAMP with a Gauss-Markov *amplitude* structure — the
+    ``AmplitudeStruct`` capability of turboGAMP: coefficient amplitudes are
+    correlated along axis 0 (theta_t = (1-alpha)·theta_{t-1} + noise), and
+    the chain smoother exchanges extrinsic per-element Gaussian priors
+    CN(eta, kappa) with the spike-slab inner solver."""
+    sigma2 = jnp.asarray(sigma2, jnp.float32)
+    p1_arr = jnp.full(op.in_shape, p1, jnp.float32)
+    eta = jnp.zeros(op.in_shape, y.dtype)
+    kappa = jnp.full(op.in_shape, sigma2, jnp.float32)
+
+    def turbo_round(carry, _):
+        eta, kappa, _ = carry
+        base = CAwgnPrior(eta, kappa)
+        prior = SparsePrior(base, p1_arr)
+        res = vamp_slm(prior, y, op, gamw=gamw, nit=nit)
+        rvar = jnp.broadcast_to(1.0 / res.gam1, res.r1.shape)
+        # activity posterior weights the chain observations
+        llr = _channel_llr(base, res.r1, rvar)
+        py1 = jax.nn.sigmoid(
+            jnp.clip(llr + jnp.log(p1_arr) - jnp.log1p(-p1_arr + 1e-12), -30, 30)
+        )
+        obs_prec = py1 / rvar
+        eta_new, kappa_new = _gauss_markov_extrinsic(
+            res.r1, obs_prec, alpha, sigma2
+        )
+        # the extrinsic prior tightens monotonically — keep the last round
+        # (a data-residual criterion would keep the overfitted first round)
+        return (eta_new, kappa_new.astype(jnp.float32), res.x), None
+
+    init = (eta, kappa, jnp.zeros(op.in_shape, y.dtype))
+    (eta, kappa, x), _ = jax.lax.scan(turbo_round, init, None, length=n_turbo)
+    return TurboResult(x=x, p1=p1_arr)
+
+
+@functools.partial(jax.jit, static_argnames=("n_turbo", "nit"))
+def turbo_mrf_vamp(
+    y,
+    op,
+    slab_var,
+    gamw,
+    p01: float = 0.05,
+    p10: float = 0.3,
+    n_turbo: int = 5,
+    nit: int = 30,
+) -> TurboResult:
+    """Structured-sparsity recovery with a 2-D Markov-random-field support
+    prior — the ``SupportStruct`` MRF capability of turboGAMP
+    (``turboGAMP/ClassDefs/MarkovField.m``): clustered supports on a 2-D
+    grid.  The MRF is approximated turbo-style as the product of a
+    row-chain and a column-chain BCJR smoother (their extrinsic LLRs add),
+    the standard decomposition for AMP with 2-D supports."""
+    pi_on = p01 / (p01 + p10)
+    base = CAwgnPrior(jnp.asarray(0.0 + 0j), jnp.asarray(slab_var, jnp.float32))
+    p1 = jnp.full(op.in_shape, pi_on, jnp.float32)
+
+    def turbo_round(carry, _):
+        p1, best_x, best_p1, best_res = carry
+        prior = SparsePrior(base, p1)
+        res = vamp_slm(prior, y, op, gamw=gamw, nit=nit)
+        rvar = 1.0 / res.gam1
+        llr_obs = jnp.clip(
+            _channel_llr(base, res.r1, jnp.broadcast_to(rvar, res.r1.shape)),
+            -8.0, 8.0,
+        )
+        ext_rows = _markov_extrinsic(llr_obs, p01, p10)  # along axis 0
+        ext_cols = _markov_extrinsic(llr_obs.T, p01, p10).T  # along axis 1
+        llr_ext = jnp.clip(ext_rows + ext_cols, -_LLR_CAP, _LLR_CAP)
+        p1_new = 0.5 * jnp.clip(jax.nn.sigmoid(llr_ext), 5e-2, 1 - 5e-2) + 0.5 * p1
+        resid = jnp.sum(jnp.abs(y - op.mv(res.x)) ** 2)
+        better = resid < best_res
+        best_x = jnp.where(better, res.x, best_x)
+        best_p1 = jnp.where(better, p1, best_p1)
+        best_res = jnp.where(better, resid, best_res)
+        return (p1_new, best_x, best_p1, best_res), None
+
+    init = (
+        p1,
+        jnp.zeros(op.in_shape, y.dtype),
+        p1,
+        jnp.asarray(jnp.inf, jnp.float32),
+    )
+    (p1, best_x, best_p1, _), _ = jax.lax.scan(
+        turbo_round, init, None, length=n_turbo
+    )
+    return TurboResult(x=best_x, p1=best_p1)
