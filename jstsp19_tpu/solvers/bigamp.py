@@ -61,15 +61,24 @@ def bigamp(
 
     kA, kX = jax.random.split(key)
     # random init scaled to the prior's second moment (or caller-provided
-    # spectral init — e.g. a winsorized truncated SVD for RPCA)
+    # spectral init — e.g. a winsorized truncated SVD for RPCA); real
+    # observations (e.g. hyperspectral unmixing) keep a real state
     ma, va = prior_a.init_moments()
     mx, vx = prior_x.init_moments()
-    Ahat = init_A if init_A is not None else (
-        jax.random.normal(kA, (L, R)) + 1j * jax.random.normal(jax.random.fold_in(kA, 1), (L, R))
-    ).astype(cdt) * jnp.sqrt((jnp.abs(ma) ** 2 + va) / 2)
-    Xhat = init_X if init_X is not None else (
-        jax.random.normal(kX, (R, M)) + 1j * jax.random.normal(jax.random.fold_in(kX, 1), (R, M))
-    ).astype(cdt) * jnp.sqrt((jnp.abs(mx) ** 2 + vx) / 2)
+
+    def _rand(k, shape, m0, v0):
+        ex2 = jnp.abs(m0) ** 2 + v0
+        if jnp.issubdtype(cdt, jnp.complexfloating):
+            w = (
+                jax.random.normal(k, shape)
+                + 1j * jax.random.normal(jax.random.fold_in(k, 1), shape)
+            ).astype(cdt) * jnp.sqrt(ex2 / 2)
+        else:
+            w = jax.random.normal(k, shape).astype(cdt) * jnp.sqrt(ex2)
+        return jnp.asarray(m0, cdt) + w
+
+    Ahat = init_A if init_A is not None else _rand(kA, (L, R), ma, va)
+    Xhat = init_X if init_X is not None else _rand(kX, (R, M), mx, vx)
     Avar = jnp.asarray(va, rdt)
     Xvar = jnp.asarray(vx, rdt)
     Shat = jnp.zeros((L, M), cdt)

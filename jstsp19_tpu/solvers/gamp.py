@@ -47,6 +47,7 @@ def gamp(
     step: float = 0.9,
     var_floor: float = 1e-12,
     dtype=None,
+    x_init=None,
 ) -> GampResult:
     """Sum-product GAMP for ``y ~ p(y | op.mv(x))``.
 
@@ -59,7 +60,12 @@ def gamp(
     x0, v0 = prior.init_moments()
     yref = getattr(likelihood, "y", getattr(likelihood, "lo", None))
     xdtype = dtype if dtype is not None else _state_dtype(x0, yref)
-    xhat = jnp.broadcast_to(jnp.asarray(x0, xdtype), op.in_shape).astype(xdtype)
+    if x_init is not None:
+        # e.g. a spectral initialization for phase retrieval — the
+        # symmetric zero start is a fixed point of magnitude-only channels
+        xhat = jnp.asarray(x_init, xdtype)
+    else:
+        xhat = jnp.broadcast_to(jnp.asarray(x0, xdtype), op.in_shape).astype(xdtype)
     xvar = jnp.broadcast_to(jnp.asarray(v0, jnp.float32), op.in_shape).astype(
         jnp.float32
     )
