@@ -22,6 +22,22 @@ def main(argv=None):
     runp.add_argument("--out", default="results")
     runp.add_argument("--no-plot", action="store_true")
     runp.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    runp.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="journal per-point results here and resume completed points",
+    )
+    runp.add_argument(
+        "--checkpoint-backend",
+        default="json",
+        choices=("json", "orbax"),
+        help="json = per-point means; orbax = full per-realization arrays",
+    )
+    runp.add_argument(
+        "--mat-path",
+        default=None,
+        help="NYU-Wireless channel .mat for error_vs_snr_nyuwireless",
+    )
     args = parser.parse_args(argv)
 
     if args.cmd == "list":
@@ -40,6 +56,11 @@ def main(argv=None):
     from jstsp19_tpu.harness import EXPERIMENTS
     from jstsp19_tpu.harness.artifacts import save_result
 
+    if args.checkpoint_dir:
+        from jstsp19_tpu.harness.runner import set_default_checkpoint
+
+        set_default_checkpoint(args.checkpoint_dir, args.checkpoint_backend)
+
     names = (
         sorted(EXPERIMENTS) if args.experiment == "all" else [args.experiment]
     )
@@ -47,7 +68,10 @@ def main(argv=None):
         if name not in EXPERIMENTS:
             print(f"unknown experiment {name!r}; try `list`", file=sys.stderr)
             return 1
-        res = EXPERIMENTS[name](n_mc=args.n_mc, seed=args.seed)
+        kwargs = {"n_mc": args.n_mc, "seed": args.seed}
+        if args.mat_path and name == "error_vs_snr_nyuwireless":
+            kwargs["mat_path"] = args.mat_path
+        res = EXPERIMENTS[name](**kwargs)
         path = save_result(res, args.out, plot=not args.no_plot)
         print(f"[{name}] wrote {path} ({res.seconds:.1f}s)")
     return 0

@@ -5,4 +5,5 @@ from jstsp19_tpu.channel.widemmwave import (  # noqa: F401
     truncated_laplacian,
     beamspace,
     taps_to_subcarriers,
+    channel_from_taps,
 )

@@ -158,3 +158,20 @@ def taps_to_subcarriers(H: jnp.ndarray, K: int) -> jnp.ndarray:
         [H, jnp.zeros((K - L,) + H.shape[1:], H.dtype)], axis=0
     ) if K > L else H[:K]
     return jnp.fft.fft(Hp, axis=0)
+
+
+def channel_from_taps(H: jnp.ndarray, Gr: int, Gt: int) -> Channel:
+    """Build a :class:`Channel` from externally supplied delay taps
+    (the NYU-Wireless ingestion path, ``plot_errorVSsnr_nyuwireless.m:59-70``
+    — taps come from a ray tracer instead of the synthetic generator).
+
+    H: (L, Mr, Mt).  Steering-vector fields are not available for measured
+    channels and are filled with empty placeholders.
+    """
+    L, Mr, Mt = H.shape
+    Dr = dft_dictionary(Mr, Gr)
+    Dt = dft_dictionary(Mt, Gt)
+    Zbar = beamspace(H, Dr, Dt)
+    empty_r = jnp.zeros((L, 0, Mr), H.dtype)
+    empty_t = jnp.zeros((L, 0, Mt), H.dtype)
+    return Channel(H=H, Zbar=Zbar, Ar=empty_r, At=empty_t, Dr=Dr, Dt=Dt)

@@ -412,15 +412,25 @@ def error_vs_snr_nyuwireless(n_mc=8, seed=0, mesh=None, mat_path=None, **kw):
     from jstsp19_tpu.channel.nyu import load_nyu_taps, normalize_taps
 
     taps = load_nyu_taps(mat_path) if mat_path else None
-    base = PointConfig(methods=("ls", "vamp", "proposed", "proposed_angles"), **kw)
     if taps is not None:
-        raise NotImplementedError(
-            "NYU .mat ingestion wired (channel/nyu.py); sweep plumbing for "
-            "externally supplied taps lands with the dataset."
+        taps = normalize_taps(taps)
+        n_real, L, Nr, Nt = taps.shape
+        n_mc = min(n_mc, n_real)
+        taps = taps[:n_mc]
+        dims = dict(L=L, Nr=Nr, Nt=Nt)
+        dims.update(
+            {k: kw.pop(k) for k in ("Gr", "Gt", "Mr_e", "Mr") if k in kw}
         )
+        dims.setdefault("Gr", Nr)
+        dims.setdefault("Gt", Nt)
+        dims.setdefault("Mr_e", Nr)  # wide combiner bounded by the array
+        dims.setdefault("Mr", max(1, Nr // 8))
+        kw = {**dims, **kw}
+    base = PointConfig(methods=("ls", "vamp", "proposed", "proposed_angles"), **kw)
     return run_sweep(
         "error_vs_snr_nyuwireless", "snr_db", list(range(-15, 16, 3)),
         point_fn=lambda s: base, noise_fn=_nv, n_mc=n_mc, seed=seed, mesh=mesh,
+        taps=taps,
     )
 
 

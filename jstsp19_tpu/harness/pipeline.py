@@ -15,7 +15,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from jstsp19_tpu.channel import wideband_mmwave_channel
+from jstsp19_tpu.channel import channel_from_taps, wideband_mmwave_channel
 from jstsp19_tpu.core import prng
 from jstsp19_tpu.core.metrics import clamped_nmse
 from jstsp19_tpu.frontend import (
@@ -81,12 +81,16 @@ def _dictionaries(ch, W_c, Psi):
     return A, B.reshape(L * Gt, T)
 
 
-def realization_errors(key, pc: PointConfig, noise_var) -> Dict[str, jnp.ndarray]:
+def realization_errors(
+    key, pc: PointConfig, noise_var, H_ext=None
+) -> Dict[str, jnp.ndarray]:
     """Evaluate all configured estimators on one channel realization.
 
     Returns {method: clamped spectral NMSE vs Zbar} (plus auxiliary
     outputs for special methods).  ``noise_var`` is a traced scalar so SNR
-    sweeps share one compilation.
+    sweeps share one compilation.  ``H_ext``: optional externally supplied
+    delay taps (L, Nr, Nt) — e.g. NYU-Wireless ray-traced channels — that
+    replace the synthetic generator for this realization.
     """
     out: Dict[str, jnp.ndarray] = {}
     k_ch, k_tr, k_n, k_mask, k_bf = (
@@ -97,9 +101,12 @@ def realization_errors(key, pc: PointConfig, noise_var) -> Dict[str, jnp.ndarray
         prng.role_key(key, prng.ROLE_BEAMFORMER),
     )
 
-    ch = wideband_mmwave_channel(
-        k_ch, pc.L, pc.Nr, pc.Nt, pc.n_clusters, pc.n_rays, pc.Gr, pc.Gt
-    )
+    if H_ext is not None:
+        ch = channel_from_taps(H_ext, pc.Gr, pc.Gt)
+    else:
+        ch = wideband_mmwave_channel(
+            k_ch, pc.L, pc.Nr, pc.Nt, pc.n_clusters, pc.n_rays, pc.Gr, pc.Gt
+        )
     Psi = qam4_training_frames(k_tr, pc.Nt, pc.T_prop, pc.L)
     N = awgn(k_n, pc.Nr, pc.T_prop, noise_var)
     W = create_beamformer(pc.Nr, pc.beamformer, key=k_bf)

@@ -57,13 +57,24 @@ def _jsonable(v) -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _compiled_point(pc: PointConfig):
+def _compiled_point(pc: PointConfig, with_taps: bool = False):
     """Batched, jitted evaluation of one sweep point: (keys, noise_var) →
-    {method: per-realization NMSE}."""
+    {method: per-realization NMSE}.  ``with_taps``: the batch also maps
+    over externally supplied channel taps (n_mc, L, Nr, Nt)."""
 
-    @jax.jit
-    def run(keys, noise_var):
-        return jax.vmap(lambda k: realization_errors(k, pc, noise_var))(keys)
+    if with_taps:
+
+        @jax.jit
+        def run(keys, noise_var, taps):
+            return jax.vmap(
+                lambda k, H: realization_errors(k, pc, noise_var, H_ext=H)
+            )(keys, taps)
+
+    else:
+
+        @jax.jit
+        def run(keys, noise_var):
+            return jax.vmap(lambda k: realization_errors(k, pc, noise_var))(keys)
 
     return run
 
@@ -82,17 +93,51 @@ def run_point(
     seed: int = 0,
     sweep_index: int = 0,
     mesh: Optional[Mesh] = None,
+    taps=None,
 ) -> Dict[str, np.ndarray]:
-    """Evaluate one sweep point over n_mc realizations (device-sharded)."""
+    """Evaluate one sweep point over n_mc realizations (device-sharded).
+
+    ``taps``: optional (n_mc, L, Nr, Nt) externally supplied channels
+    (NYU-Wireless ingestion) replacing the synthetic generator."""
     root = prng.experiment_key(seed)
     keys = prng.realization_keys(root, sweep_index, n_mc)
     if mesh is not None:
         n_dev = mesh.devices.size
         if n_mc % n_dev:
             raise ValueError(f"n_mc={n_mc} must divide over {n_dev} devices")
-        keys = jax.device_put(keys, NamedSharding(mesh, P(mesh.axis_names[0])))
-    out = _compiled_point(pc)(keys, jnp.asarray(noise_var, jnp.float32))
+        sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+        keys = jax.device_put(keys, sh)
+        if taps is not None:
+            taps = jax.device_put(taps, NamedSharding(mesh, P(mesh.axis_names[0])))
+    if taps is not None:
+        if taps.shape[0] != n_mc:
+            raise ValueError(f"taps batch {taps.shape[0]} != n_mc {n_mc}")
+        out = _compiled_point(pc, True)(
+            keys, jnp.asarray(noise_var, jnp.float32), taps
+        )
+    else:
+        out = _compiled_point(pc)(keys, jnp.asarray(noise_var, jnp.float32))
     return {k: np.asarray(v) for k, v in out.items()}
+
+
+# process-wide checkpoint defaults so the CLI can enable sweep resume
+# without threading kwargs through every experiment recipe
+_DEFAULT_CHECKPOINT = {"dir": None, "backend": "json"}
+
+
+def set_default_checkpoint(directory: Optional[str], backend: str = "json") -> None:
+    """Set the checkpoint directory/backend used by every subsequent
+    :func:`run_sweep` call that doesn't pass its own."""
+    if backend not in ("json", "orbax"):
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
+    _DEFAULT_CHECKPOINT["dir"] = directory
+    _DEFAULT_CHECKPOINT["backend"] = backend
+
+
+def _orbax_checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
 
 
 def run_sweep(
@@ -106,6 +151,8 @@ def run_sweep(
     mesh: Optional[Mesh] = None,
     verbose: bool = True,
     checkpoint_dir: Optional[str] = None,
+    checkpoint_backend: Optional[str] = None,
+    taps=None,
 ) -> SweepResult:
     """Run a full sweep: for each sweep value, build the PointConfig, run the
     MC batch, and average each method's metric (the reference's
@@ -114,29 +161,50 @@ def run_sweep(
     ``checkpoint_dir``: if given, per-point results are journaled there and
     completed points are skipped on re-run (sweep-level resume — the
     checkpoint/resume capability the reference lacks, SURVEY.md §5).
+    ``checkpoint_backend``: ``"json"`` journals per-point means;
+    ``"orbax"`` checkpoints the full per-realization error arrays through
+    orbax (restores reproduce the means bit-exactly and keep the raw MC
+    state for re-aggregation).
     """
     import os
+
+    checkpoint_dir = checkpoint_dir or _DEFAULT_CHECKPOINT["dir"]
+    backend = checkpoint_backend or _DEFAULT_CHECKPOINT["backend"]
+    ckptr = _orbax_checkpointer() if (checkpoint_dir and backend == "orbax") else None
 
     t0 = time.time()
     curves: Dict[str, List[float]] = {}
     for i, val in enumerate(sweep_values):
-        ckpt = (
-            os.path.join(checkpoint_dir, f"{name}.{sweep_name}.{i}.json")
-            if checkpoint_dir
-            else None
-        )
-        if ckpt and os.path.exists(ckpt):
-            with open(ckpt) as f:
-                point = json.load(f)
-        else:
+        stem = f"{name}.{sweep_name}.{i}"
+        point = None
+        if checkpoint_dir and backend == "json":
+            ckpt = os.path.join(checkpoint_dir, stem + ".json")
+            if os.path.exists(ckpt):
+                with open(ckpt) as f:
+                    point = json.load(f)
+        elif ckptr is not None:
+            ckpt = os.path.abspath(os.path.join(checkpoint_dir, stem + ".orbax"))
+            if os.path.exists(ckpt):
+                restored = ckptr.restore(ckpt)
+                point = {m: float(np.mean(errs)) for m, errs in restored.items()}
+        if point is None:
             pc = point_fn(val)
             nv = noise_fn(val)
-            out = run_point(pc, nv, n_mc, seed=seed, sweep_index=i, mesh=mesh)
+            out = run_point(
+                pc, nv, n_mc, seed=seed, sweep_index=i, mesh=mesh, taps=taps
+            )
             point = {m: float(np.mean(errs)) for m, errs in out.items()}
-            if ckpt:
+            if checkpoint_dir:
                 os.makedirs(checkpoint_dir, exist_ok=True)
-                with open(ckpt, "w") as f:
-                    json.dump(point, f)
+                if ckptr is not None:
+                    ckptr.save(
+                        os.path.abspath(os.path.join(checkpoint_dir, stem + ".orbax")),
+                        {m: np.asarray(errs) for m, errs in out.items()},
+                    )
+                    ckptr.wait_until_finished()
+                else:
+                    with open(os.path.join(checkpoint_dir, stem + ".json"), "w") as f:
+                        json.dump(point, f)
         for m, mean_err in point.items():
             curves.setdefault(m, []).append(mean_err)
         if verbose:

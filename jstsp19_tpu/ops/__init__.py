@@ -8,4 +8,12 @@ from jstsp19_tpu.ops.base import (  # noqa: F401
 )
 from jstsp19_tpu.ops.kron import KronDictOp  # noqa: F401
 from jstsp19_tpu.ops.masked import MaskOp, DiagOp  # noqa: F401
-from jstsp19_tpu.ops.fourier import DFTOp, FWHTOp, fwht, ToeplitzOp  # noqa: F401
+from jstsp19_tpu.ops.fourier import (  # noqa: F401
+    DFTOp,
+    FWHTOp,
+    fwht,
+    ToeplitzOp,
+    DCTOp,
+    dct,
+    idct,
+)

@@ -214,3 +214,79 @@ class ToeplitzOp(LinOp):
 jax.tree_util.register_dataclass(
     ToeplitzOp, data_fields=["col", "row"], meta_fields=[]
 )
+
+
+# -- DCT (``DCTLinTrans`` analog) -------------------------------------------
+#
+# jax.scipy.fft.dct lowers through rfft, which the axon TPU backend does
+# not implement; these use the classic complex-FFT factorization instead
+# (even/odd interleave + quarter-sample phase twist), valid for any N.
+
+def _dct_consts(n: int):
+    """Quarter-sample twist and orthonormal scale as numpy literals.
+
+    n is static under jit; computing these with jnp.arange trips the axon
+    TPU backend (integer iota arithmetic is unimplemented there)."""
+    k = np.arange(n)
+    twist = np.exp(-1j * np.pi * k / (2 * n)).astype(np.complex64)
+    scale = np.where(k == 0, 1.0 / np.sqrt(n), np.sqrt(2.0 / n)).astype(np.float32)
+    return twist, scale
+
+
+def dct(x: jnp.ndarray) -> jnp.ndarray:
+    """Orthonormal DCT-II along the last axis (real input)."""
+    n = x.shape[-1]
+    twist, scale = _dct_consts(n)
+    v = jnp.concatenate([x[..., ::2], jnp.flip(x[..., 1::2], -1)], axis=-1)
+    # explicit complex cast: fft of a real array lowers through rfft,
+    # which the axon TPU backend does not implement
+    V = jnp.fft.fft(v.astype(jnp.complex64), axis=-1)
+    y = jnp.real(twist * V)
+    return y * scale
+
+
+def idct(y: jnp.ndarray) -> jnp.ndarray:
+    """Orthonormal DCT-III (inverse of :func:`dct`) along the last axis."""
+    n = y.shape[-1]
+    twist, scale = _dct_consts(n)
+    w = y / scale
+    w_nk = jnp.concatenate([w[..., :1] * 0, jnp.flip(w[..., 1:], -1)], axis=-1)
+    V = twist.conj() * (w - 1j * w_nk)
+    v = jnp.real(jnp.fft.ifft(V, axis=-1))
+    half = (n + 1) // 2
+    x = jnp.zeros_like(v)
+    x = x.at[..., ::2].set(v[..., :half])
+    x = x.at[..., 1::2].set(jnp.flip(v[..., half:], -1))
+    return x
+
+
+@dataclasses.dataclass(frozen=True)
+class DCTOp(LinOp):
+    """Orthonormal DCT-II operator on length-n real vectors
+    (``main/DCTLinTrans.m`` analog).  Real orthonormal, so the adjoint is
+    the inverse transform."""
+
+    n: int
+
+    @property
+    def in_shape(self):
+        return (self.n,)
+
+    @property
+    def out_shape(self):
+        return (self.n,)
+
+    def mv(self, x):
+        return dct(x)
+
+    def rmv(self, y):
+        return idct(y)
+
+    def sq_mv(self, x):
+        # |C_kn|² ≈ uniform 1/n (exact for row 0; 2·cos² averages to 1/n)
+        return jnp.mean(x, axis=-1, keepdims=True) * jnp.ones_like(x)
+
+    sq_rmv = sq_mv
+
+
+jax.tree_util.register_dataclass(DCTOp, data_fields=[], meta_fields=["n"])

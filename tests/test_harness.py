@@ -88,3 +88,20 @@ def test_run_sweep_checkpoint_resume(tmp_path):
     res2 = run_sweep("ckpt_test", **kw)
     assert res2.curves["proposed"][0] == 0.123
     assert res2.curves["proposed"][1] == res1.curves["proposed"][1]
+
+
+def test_run_sweep_orbax_checkpoint_resume(tmp_path):
+    """Orbax backend: per-realization arrays round-trip and resumed means
+    are bit-exact."""
+    pc = PointConfig(Nr=16, Mr_e=16, Gr=16, T=5, Imax=5, num_nonzero=5,
+                     methods=("proposed",))
+    kw = dict(
+        sweep_name="snr_db", sweep_values=[0, 10],
+        point_fn=lambda s: pc, noise_fn=lambda s: 10 ** (-s / 10),
+        n_mc=2, verbose=False, checkpoint_dir=str(tmp_path),
+        checkpoint_backend="orbax",
+    )
+    res1 = run_sweep("ockpt_test", **kw)
+    assert (tmp_path / "ockpt_test.snr_db.0.orbax").exists()
+    res2 = run_sweep("ockpt_test", **kw)  # fully from checkpoints
+    assert res2.curves["proposed"] == res1.curves["proposed"]

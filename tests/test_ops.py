@@ -196,3 +196,25 @@ def test_concat_op(key):
     lhs = inner(ys[0], y1) + inner(ys[1], y2)
     rhs = inner(op.rmv(ys), x)
     assert abs(lhs - rhs) < 1e-4 * (1 + abs(lhs))
+
+
+def test_dct_matches_scipy_and_adjoint(key):
+    import scipy.fft
+    from jstsp19_tpu.ops import DCTOp, dct, idct
+
+    for n in (8, 9, 32, 33):
+        x = np.random.default_rng(n).normal(size=n).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(dct(jnp.asarray(x))),
+            scipy.fft.dct(x, norm="ortho"),
+            atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(idct(dct(jnp.asarray(x)))), x, atol=2e-5
+        )
+    op = DCTOp(32)
+    x = jax.random.normal(key, (32,))
+    y = jax.random.normal(jax.random.fold_in(key, 1), (32,))
+    lhs = jnp.vdot(op.mv(x), y)
+    rhs = jnp.vdot(x, op.rmv(y))
+    assert abs(float(lhs - rhs)) < 1e-4
