@@ -32,7 +32,12 @@ from jstsp19_tpu.solvers.estim import (  # noqa: F401
 from jstsp19_tpu.solvers.vamp import vamp_glm, vamp_mmwave  # noqa: F401
 from jstsp19_tpu.solvers.gamp import gamp, fista, amp, sure_amp  # noqa: F401
 from jstsp19_tpu.solvers.vamp_slm import vamp_slm, vamp_slm_se  # noqa: F401
-from jstsp19_tpu.solvers.bigamp import bigamp, bigamp_mc, bigamp_rpca  # noqa: F401
+from jstsp19_tpu.solvers.bigamp import (  # noqa: F401
+    bigamp,
+    bigamp_mc,
+    bigamp_rpca,
+    em_bigamp_mc,
+)
 from jstsp19_tpu.solvers.pbigamp import pbigamp  # noqa: F401
 from jstsp19_tpu.solvers.hutamp import hutamp  # noqa: F401
 from jstsp19_tpu.solvers.em import em_bg_vamp, em_gm_vamp, em_nngm_gamp  # noqa: F401

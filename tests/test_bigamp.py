@@ -77,3 +77,32 @@ def test_bigamp_rpca_low_rank_plus_outliers():
         jnp.sum(jnp.abs(res_plain.Z - Z) ** 2) / jnp.sum(jnp.abs(Z) ** 2)
     )
     assert nmse < nmse_plain
+
+
+def test_em_bigamp_mc_learns_noise_and_rank():
+    """EM-BiGAMP-MC: true rank 3 run at max_rank 8 — the learned component
+    energies must separate true from spurious, and the noise variance
+    must land near truth."""
+    from jstsp19_tpu.solvers.bigamp import em_bigamp_mc
+    from jstsp19_tpu.core import prng
+
+    key = jax.random.key(13)
+    L, M, R, maxR = 40, 56, 3, 8
+    A = prng.complex_normal(jax.random.fold_in(key, 0), (L, R))
+    X = prng.complex_normal(jax.random.fold_in(key, 1), (R, M))
+    Z = A @ X
+    nv_true = 1e-3 * float(jnp.mean(jnp.abs(Z) ** 2))
+    mask = (jax.random.uniform(jax.random.fold_in(key, 3), (L, M)) < 0.6).astype(
+        jnp.float32
+    )
+    Y = mask * (
+        Z + prng.complex_normal(jax.random.fold_in(key, 2), (L, M), var=nv_true)
+    )
+
+    res = em_bigamp_mc(
+        Y, mask, maxR, jax.random.fold_in(key, 4), nit=300, n_em=3, step=0.5
+    )
+    nmse = float(jnp.sum(jnp.abs(res.Z - Z) ** 2) / jnp.sum(jnp.abs(Z) ** 2))
+    assert nmse < 1e-2, nmse
+    assert res.rank == R, (res.rank, res.bic)
+    assert 0.2 * nv_true < float(res.noise_var) < 5 * nv_true
