@@ -38,7 +38,7 @@ def _state_dtype(x0, yref):
     return jnp.float32
 
 
-@functools.partial(jax.jit, static_argnames=("nit", "dtype"))
+@functools.partial(jax.jit, static_argnames=("nit", "dtype", "adaptive"))
 def gamp(
     prior,
     likelihood,
@@ -48,6 +48,7 @@ def gamp(
     var_floor: float = 1e-12,
     dtype=None,
     x_init=None,
+    adaptive: bool = False,
 ) -> GampResult:
     """Sum-product GAMP for ``y ~ p(y | op.mv(x))``.
 
@@ -73,8 +74,7 @@ def gamp(
     rhat0 = xhat
     rvar0 = jnp.ones_like(xvar)
 
-    def body(carry, _):
-        xhat, xvar, shat, _, _ = carry
+    def _iterate(xhat, xvar, shat, stp):
         # output linear stage
         zvar = jnp.maximum(op.sq_mv(xvar), var_floor)
         phat = op.mv(xhat) - zvar * shat
@@ -82,19 +82,62 @@ def gamp(
         z0, zvar0 = likelihood.estim(phat, zvar)
         shat_new = (z0 - phat) / zvar
         svar = jnp.maximum((1.0 - zvar0 / zvar) / zvar, var_floor)
-        shat_new = step * shat_new + (1 - step) * shat
+        shat_new = stp * shat_new + (1 - stp) * shat
         # input linear stage
         rvar = 1.0 / jnp.maximum(op.sq_rmv(svar), var_floor)
         rhat = xhat + rvar * op.rmv(shat_new)
         # input nonlinear stage
         xhat_new, xvar_new = prior.estim(rhat, rvar)
-        xhat_new = step * xhat_new + (1 - step) * xhat
+        xhat_new = stp * xhat_new + (1 - stp) * xhat
         xvar_new = jnp.maximum(xvar_new, var_floor)
-        return (xhat_new, xvar_new, shat_new, rhat, rvar), None
+        return xhat_new, xvar_new, shat_new, rhat, rvar, z0, zvar
 
-    (xhat, xvar, shat, rhat, rvar), _ = jax.lax.scan(
-        body, (xhat, xvar, shat, rhat0, rvar0), None, length=nit
+    if not adaptive:
+
+        def body(carry, _):
+            xhat, xvar, shat, _, _ = carry
+            xhat, xvar, shat, rhat, rvar, _, _ = _iterate(xhat, xvar, shat, step)
+            return (xhat, xvar, shat, rhat, rvar), None
+
+        (xhat, xvar, shat, rhat, rvar), _ = jax.lax.scan(
+            body, (xhat, xvar, shat, rhat0, rvar0), None, length=nit
+        )
+        return GampResult(x=xhat, xvar=xvar, rhat=rhat, rvar=rvar)
+
+    # adaptive-step mode (the ``GampOpt.adaptStep`` capability,
+    # ``gampEst.m`` step acceptance): a candidate update is accepted only
+    # if the normalized output-residual cost does not increase; rejection
+    # reverts the state and shrinks the step (the scan-friendly form of
+    # gampEst's redo-with-smaller-step), acceptance grows it back.
+    STEP_MIN, STEP_MAX, INCR, DECR = 0.05, 1.0, 1.1, 0.5
+
+    def body_a(carry, _):
+        state, stp, cost_prev = carry
+        xhat, xvar, shat, rhat, rvar = state
+        xh_n, xv_n, sh_n, rh_n, rv_n, z0, zvar = _iterate(xhat, xvar, shat, stp)
+        # unnormalized output residual: dividing by zvar would penalize the
+        # growing confidence of good iterates and reject them
+        cost = jnp.mean(jnp.abs(z0 - op.mv(xh_n)) ** 2)
+        accept = cost <= cost_prev
+        new_state = (xh_n, xv_n, sh_n, rh_n, rv_n)
+        state_next = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(accept, new, old), new_state, state
+        )
+        stp_next = jnp.where(
+            accept,
+            jnp.minimum(stp * INCR, STEP_MAX),
+            jnp.maximum(stp * DECR, STEP_MIN),
+        )
+        cost_next = jnp.where(accept, cost, cost_prev)
+        return (state_next, stp_next, cost_next), None
+
+    init = (
+        (xhat, xvar, shat, rhat0, rvar0),
+        jnp.asarray(step, jnp.float32),
+        jnp.asarray(jnp.inf, jnp.float32),
     )
+    (state, _, _), _ = jax.lax.scan(body_a, init, None, length=nit)
+    xhat, xvar, shat, rhat, rvar = state
     return GampResult(x=xhat, xvar=xvar, rhat=rhat, rvar=rvar)
 
 

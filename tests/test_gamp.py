@@ -145,3 +145,51 @@ def test_gamp_real_nonneg_prior_keeps_real_state(key):
     assert not jnp.iscomplexobj(res.x)
     nmse = float(jnp.sum((res.x - x) ** 2) / jnp.sum(x**2))
     assert nmse < 0.05, nmse
+
+
+def test_gamp_adaptive_step(key):
+    """GampOpt.adaptStep analog: on a well-conditioned problem the adaptive
+    step matches the fixed step exactly; on a strongly correlated operator
+    (where fixed-step GAMP diverges to NaN) it degrades gracefully."""
+    # well-conditioned: identical recovery
+    A, x, y, nv, beta = _sparse_problem(key)
+    op = MatrixOp(A)
+    prior = SparsePrior(
+        CAwgnPrior(jnp.asarray(0.0 + 0j), jnp.asarray(1.0 / beta, jnp.float32)),
+        jnp.asarray(beta, jnp.float32),
+    )
+    lik = CAwgnLikelihood(y, jnp.asarray(nv, jnp.float32))
+    res_f = gamp(prior, lik, op, nit=80)
+    res_a = gamp(prior, lik, op, nit=80, adaptive=True)
+    nm_f = float(jnp.sum(jnp.abs(res_f.x - x) ** 2) / jnp.sum(jnp.abs(x) ** 2))
+    nm_a = float(jnp.sum(jnp.abs(res_a.x - x) ** 2) / jnp.sum(jnp.abs(x) ** 2))
+    assert nm_a < 0.05
+    assert abs(nm_a - nm_f) < 0.02
+
+    # correlated columns: fixed step NaNs, adaptive stays finite
+    m, n, k = 128, 256, 12
+    kA, kB, kx, ki, kn = jax.random.split(key, 5)
+    from jstsp19_tpu.core import prng as _prng
+
+    U = _prng.complex_normal(kA, (m, 30))
+    V = _prng.complex_normal(kB, (30, n))
+    A2 = (
+        U @ V / np.sqrt(30)
+        + 0.05 * _prng.complex_normal(jax.random.fold_in(key, 9), (m, n))
+    ) / np.sqrt(m)
+    beta = k / n
+    idx = jax.random.choice(ki, n, (k,), replace=False)
+    x2 = jnp.zeros((n,), jnp.complex64).at[idx].set(
+        _prng.complex_normal(kx, (k,), var=1 / beta)
+    )
+    nv2 = float(jnp.mean(jnp.abs(A2 @ x2) ** 2)) * 1e-3
+    y2 = A2 @ x2 + _prng.complex_normal(kn, (m,), var=nv2)
+    prior2 = SparsePrior(
+        CAwgnPrior(jnp.asarray(0.0 + 0j), jnp.asarray(1.0 / beta, jnp.float32)),
+        jnp.asarray(beta, jnp.float32),
+    )
+    lik2 = CAwgnLikelihood(y2, jnp.asarray(nv2, jnp.float32))
+    res_f2 = gamp(prior2, lik2, MatrixOp(A2), nit=300, step=0.9)
+    res_a2 = gamp(prior2, lik2, MatrixOp(A2), nit=300, step=0.9, adaptive=True)
+    assert not bool(jnp.all(jnp.isfinite(jnp.abs(res_f2.x))))  # fixed diverges
+    assert bool(jnp.all(jnp.isfinite(jnp.abs(res_a2.x))))  # adaptive does not
