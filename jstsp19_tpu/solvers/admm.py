@@ -118,9 +118,15 @@ def proposed_admm(
          matches MATLAB ``norm``, 'fro' is cheaper).
       init_state: optional :class:`AdmmState` to warm-start from (resume /
          continuation across Imax chunks).
-      svt_method: 'eigh' (XLA eigensolver) or 'jacobi' (batched
+      svt_method: 'eigh' (XLA eigensolver), 'jacobi' (batched
          parallel-ordering Jacobi, ops/jacobi.py — eigh-free inner loop
-         that compiles to pure matmul scans; ~1e-3-accurate shrinkage).
+         that compiles to pure matmul scans; ~1e-3-accurate shrinkage),
+         or 'tracked' (eigh-free warm-started spectral tracking: the
+         Gram eigenbasis is carried across ADMM iterations and refreshed
+         with 8 Jacobi rotation rounds per iteration — the SVT inputs
+         X − V1/ρ drift slowly once the ADMM settles, so a partial sweep
+         per step keeps the basis converged at a fraction of eigh's
+         cost; requires even N ≤ M).
 
     Returns :class:`AdmmResult` (with the full final state for restarts).
     """
@@ -164,18 +170,76 @@ def proposed_admm(
         v=jnp.zeros((Gr, K), cdt),
     )
 
+    tracked = svt_method == "tracked"
+    if tracked and (N % 2 or N > M):
+        raise ValueError("svt_method='tracked' needs even N <= M")
     if svt_method == "jacobi":
         from jstsp19_tpu.ops.jacobi import svt_jacobi
 
         svt_fn = lambda X, t: svt_jacobi(X, t, sweeps=8)
-    elif svt_method == "eigh":
+    elif svt_method in ("eigh", "tracked"):
         svt_fn = svt
     else:
         raise ValueError(f"unknown svt_method {svt_method!r}")
 
-    def body(st: State, i):
+    if tracked:
+        from jstsp19_tpu.ops.jacobi import _round_robin_schedule
+
+        sched = jnp.asarray(_round_robin_schedule(N))  # (N-1, 2, N/2)
+        TRACK_ROUNDS = 8
+        eyeN = jnp.eye(N, dtype=cdt)
+
+        def _track_rounds(T, U, start):
+            def rr(carry, j):
+                T, U = carry
+                pq = sched[(start + j) % (N - 1)]
+                p, q = pq[0], pq[1]
+                app = jnp.real(T[..., p, p])
+                aqq = jnp.real(T[..., q, q])
+                apq = T[..., p, q]
+                mag = jnp.abs(apq)
+                phase = jnp.where(
+                    mag > 0, apq / jnp.where(mag > 0, mag, 1.0), 1.0 + 0.0j
+                )
+                theta = 0.5 * jnp.arctan2(2.0 * mag, app - aqq)
+                c = jnp.cos(theta).astype(cdt)
+                s = (jnp.sin(theta) * phase).astype(cdt)
+                G = (
+                    eyeN.at[p, p].set(c)
+                    .at[q, q].set(c)
+                    .at[p, q].set(-s)
+                    .at[q, p].set(jnp.conj(s))
+                )
+                return (G.conj().T @ T @ G, U @ G), None
+
+            (T, U), _ = jax.lax.scan(rr, (T, U), jnp.arange(TRACK_ROUNDS))
+            return T, U
+
+        def _tracked_svt(W, tau, U, i):
+            # full-f32 matmuls: the TPU's default bf16 passes accumulate
+            # across the long rotation chain and destroy the basis
+            with jax.default_matmul_precision("highest"):
+                Wc = jnp.where(
+                    jnp.isfinite(W.real) & jnp.isfinite(W.imag), W, 0.0
+                )
+                G = Wc @ Wc.conj().T
+                T = U.conj().T @ G @ U
+                T, U = _track_rounds(T, U, (i * TRACK_ROUNDS) % (N - 1))
+                sig = jnp.sqrt(jnp.maximum(jnp.real(jnp.diagonal(T)), 0.0))
+                f = jnp.where(
+                    sig > 0,
+                    jnp.maximum(sig - tau, 0.0) / jnp.where(sig > 0, sig, 1.0),
+                    0.0,
+                )
+                return (U * f[None, :]) @ (U.conj().T @ Wc), U
+
+    def body(carry, i):
+        st, U = carry
         # -- sub 1: nuclear-norm prox ------------------------------------
-        Y = svt_fn(st.X - st.V1 / rho, tau_Y / rho)
+        if tracked:
+            Y, U = _tracked_svt(st.X - st.V1 / rho, tau_Y / rho, U, i)
+        else:
+            Y = svt_fn(st.X - st.V1 / rho, tau_Y / rho)
 
         # -- sub 2: masked LS (diagonal solve) ---------------------------
         b = st.V1 + rho * Y + subY + st.V2 + rho * st.C + rho * (A @ st.S @ B)
@@ -215,9 +279,10 @@ def proposed_admm(
             conv = jnp.stack([sqn(V1) / nx, sqn(V2) / nx, conv3])
         else:
             conv = jnp.zeros((0,), subY.real.dtype)
-        return State(X, V1, V2, C, Y, S, v), conv
+        return (State(X, V1, V2, C, Y, S, v), U), conv
 
-    final, conv = jax.lax.scan(body, init, jnp.arange(Imax))
+    U0 = jnp.eye(N, dtype=cdt)
+    (final, _), conv = jax.lax.scan(body, (init, U0), jnp.arange(Imax))
     return AdmmResult(
         S=final.S,
         Y=final.Y,

@@ -144,3 +144,20 @@ def test_admm_jacobi_svt_matches_eigh(key):
     e_e = float(clamped_nmse(r_e.S, ch.Zbar))
     e_j = float(clamped_nmse(r_j.S, ch.Zbar))
     assert abs(e_e - e_j) < 0.02, (e_e, e_j)
+
+
+def test_tracked_svt_matches_eigh_end_to_end(key):
+    """svt_method='tracked' (warm-started spectral tracking, 8 Jacobi
+    rounds per iteration) must match the eigh-based ADMM's NMSE on the
+    canonical configuration."""
+    from jstsp19_tpu.harness.pipeline import PointConfig, realization_errors
+    from jstsp19_tpu.core import prng as _prng
+
+    keys = _prng.realization_keys(_prng.experiment_key(0), 0, 4)
+    nv = jnp.asarray(1.0, jnp.float32)  # 0 dB
+    res = {}
+    for m_ in ("eigh", "tracked"):
+        pc = PointConfig(methods=("proposed",), svt_method=m_)
+        out = jax.vmap(lambda k: realization_errors(k, pc, nv))(keys)
+        res[m_] = np.asarray(out["proposed"])
+    np.testing.assert_allclose(res["tracked"], res["eigh"], atol=5e-3)
