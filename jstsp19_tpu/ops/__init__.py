@@ -17,3 +17,13 @@ from jstsp19_tpu.ops.fourier import (  # noqa: F401
     dct,
     idct,
 )
+from jstsp19_tpu.ops.structured import (  # noqa: F401
+    IdentityOp,
+    SubsetOp,
+    CenterOp,
+    TVOp,
+    HaarOp,
+    random_unitary_op,
+    expander_graph_op,
+    rbf_kernel_op,
+)

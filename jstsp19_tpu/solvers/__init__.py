@@ -28,6 +28,18 @@ from jstsp19_tpu.solvers.estim import (  # noqa: F401
     OutlierLikelihood,
     LaplaceLikelihood,
     MagnitudeLikelihood,
+    DiracPrior,
+    NullPrior,
+    ElasticNetPrior,
+    NNSoftThreshPrior,
+    MixPrior,
+    ConcatPrior,
+    DiracLikelihood,
+    MaskedLikelihood,
+    GaussMixLikelihood,
+    CMultAwgnLikelihood,
+    HingeLikelihood,
+    ConcatLikelihood,
 )
 from jstsp19_tpu.solvers.vamp import vamp_glm, vamp_mmwave  # noqa: F401
 from jstsp19_tpu.solvers.gamp import gamp, fista, amp, sure_amp  # noqa: F401

@@ -27,6 +27,19 @@ Implemented (★ = on the jstsp19 experiment path):
     LaplaceLikelihood — Laplacian-noise channel          (LaplaceEstimOut.m)
     MagnitudeLikelihood — magnitude-only (Rician) channel (ncCAwgnEstimOut.m,
                           the PR-GAMP phase-retrieval observation)
+    DiracPrior        — point mass                        (DiracEstimIn.m)
+    NullPrior         — non-informative passthrough       (NullEstimIn.m)
+    ElasticNetPrior   — l1+l2 MAP denoiser                (ElasticNetEstimIn.m)
+    NNSoftThreshPrior — exponential (nonneg-Laplace) MMSE (NNSoftThreshEstimIn.m)
+    MixPrior          — two-component prior mixture       (MixScaEstimIn.m)
+    ConcatPrior       — blockwise prior concatenation     (EstimInConcat.m)
+    DiracLikelihood   — noiseless observation             (DiracEstimOut.m)
+    MaskedLikelihood  — missing-data wrapper              (MaskedEstimOut.m)
+    GaussMixLikelihood — K-component Gaussian-mix noise   (GaussMixEstimOut.m /
+                          CGaussMixEstimOut.m)
+    CMultAwgnLikelihood — known complex per-entry gain    (CMultAwgnEstimOut.m)
+    HingeLikelihood   — SVM hinge-loss channel            (TestSVMGAMP capability)
+    ConcatLikelihood  — blockwise likelihood concat       (EstimOutConcat.m)
 """
 from __future__ import annotations
 
@@ -701,3 +714,314 @@ class MagnitudeLikelihood:
 
 
 _register(MagnitudeLikelihood, ("y", "wvar"))
+
+
+@dataclasses.dataclass(frozen=True)
+class DiracPrior:
+    """Point-mass prior x = x0 with certainty (``main/DiracEstimIn.m``)."""
+
+    x0: jnp.ndarray = 0.0
+
+    def estim(self, rhat, rvar):
+        xhat = self.x0 * jnp.ones_like(rhat)
+        return xhat, jnp.zeros(jnp.shape(rhat), dtype=jnp.result_type(rvar))
+
+    def loglikey(self, rhat, rvar):
+        if jnp.iscomplexobj(rhat):
+            return -(jnp.log(jnp.pi) + jnp.log(rvar) + jnp.abs(rhat - self.x0) ** 2 / rvar)
+        return -0.5 * (jnp.log(2 * jnp.pi) + jnp.log(rvar) + (rhat - self.x0) ** 2 / rvar)
+
+    def init_moments(self):
+        return self.x0, jnp.zeros(())
+
+
+_register(DiracPrior, ("x0",))
+
+
+@dataclasses.dataclass(frozen=True)
+class NullPrior:
+    """Non-informative (flat) prior (``main/NullEstimIn.m``): the posterior
+    equals the incoming Gaussian message."""
+
+    def estim(self, rhat, rvar):
+        return rhat, rvar
+
+    def init_moments(self):
+        return jnp.zeros(()), jnp.ones(())
+
+
+_register(NullPrior, ())
+
+
+@dataclasses.dataclass(frozen=True)
+class ElasticNetPrior:
+    """Elastic-net MAP denoiser (``main/ElasticNetEstimIn.m``): prox of
+    lam1·|x| + (lam2/2)·x², i.e. soft threshold followed by ridge shrink
+    ``xhat = soft(r, lam1·rvar)/(1 + lam2·rvar)``.  Works for real or
+    complex (circular soft threshold) pseudo-data."""
+
+    lam1: jnp.ndarray = 1.0
+    lam2: jnp.ndarray = 1.0
+
+    def estim(self, rhat, rvar):
+        mag = jnp.abs(rhat)
+        shrunk = jnp.maximum(mag - self.lam1 * rvar, 0.0)
+        xhat = jnp.where(mag > 0, rhat / jnp.maximum(mag, 1e-30) * shrunk, 0.0)
+        xhat = xhat / (1.0 + self.lam2 * rvar)
+        active = (shrunk > 0).astype(jnp.float32)
+        return xhat, jnp.maximum(rvar * active / (1.0 + self.lam2 * rvar), 1e-30)
+
+    def init_moments(self):
+        return jnp.zeros(()), 1.0 / (self.lam1**2 + self.lam2)
+
+
+_register(ElasticNetPrior, ("lam1", "lam2"))
+
+
+@dataclasses.dataclass(frozen=True)
+class NNSoftThreshPrior:
+    """Exponential prior p(x) = lam·exp(−lam·x)·1{x ≥ 0}, real x
+    (``main/NNSoftThreshEstimIn.m``) — exact MMSE posterior: the tilted
+    Gaussian N(r − lam·rvar, rvar) truncated to [0, ∞)."""
+
+    lam: jnp.ndarray = 1.0
+
+    def estim(self, rhat, rvar):
+        xhat, xvar, _ = _tn_moments(rhat - self.lam * rvar, rvar, 0.0, jnp.inf)
+        return xhat, xvar
+
+    def loglikey(self, rhat, rvar):
+        # log ∫ N(r; x, rvar)·lam·e^{−lam x} dx over x ≥ 0
+        m = rhat - self.lam * rvar
+        return (
+            jnp.log(self.lam)
+            + 0.5 * self.lam**2 * rvar
+            - self.lam * rhat
+            + jax.scipy.stats.norm.logcdf(m / jnp.sqrt(rvar))
+        )
+
+    def init_moments(self):
+        return 1.0 / self.lam, 1.0 / self.lam**2
+
+
+_register(NNSoftThreshPrior, ("lam",))
+
+
+@dataclasses.dataclass(frozen=True)
+class MixPrior:
+    """Two-component prior mixture x ~ w·p_a(x) + (1−w)·p_b(x)
+    (``main/MixScaEstimIn.m``): posterior responsibilities from each
+    component's Gaussian-channel evidence ``loglikey``; both components must
+    implement ``estim`` and ``loglikey``."""
+
+    base_a: object
+    base_b: object
+    w: jnp.ndarray = 0.5
+
+    def estim(self, rhat, rvar):
+        la = self.base_a.loglikey(rhat, rvar)
+        lb = self.base_b.loglikey(rhat, rvar)
+        exparg = jnp.clip(
+            lb - la + jnp.log1p(-self.w) - jnp.log(self.w), -_MAXARG, _MAXARG
+        )
+        ra = 1.0 / (1.0 + jnp.exp(exparg))
+        xa, va = self.base_a.estim(rhat, rvar)
+        xb, vb = self.base_b.estim(rhat, rvar)
+        xhat = ra * xa + (1 - ra) * xb
+        ex2 = ra * (jnp.abs(xa) ** 2 + va) + (1 - ra) * (jnp.abs(xb) ** 2 + vb)
+        return xhat, jnp.maximum(ex2 - jnp.abs(xhat) ** 2, 1e-30)
+
+    def loglikey(self, rhat, rvar):
+        la = self.base_a.loglikey(rhat, rvar)
+        lb = self.base_b.loglikey(rhat, rvar)
+        return jnp.logaddexp(jnp.log(self.w) + la, jnp.log1p(-self.w) + lb)
+
+    def init_moments(self):
+        ma, va = self.base_a.init_moments()
+        mb, vb = self.base_b.init_moments()
+        m = self.w * ma + (1 - self.w) * mb
+        ex2 = self.w * (jnp.abs(ma) ** 2 + va) + (1 - self.w) * (
+            jnp.abs(mb) ** 2 + vb
+        )
+        return m, ex2 - jnp.abs(m) ** 2
+
+
+_register(MixPrior, ("base_a", "base_b", "w"))
+
+
+@dataclasses.dataclass(frozen=True)
+class ConcatPrior:
+    """Blockwise prior over the last axis (``main/EstimInConcat.m``): block
+    k of static size ``sizes[k]`` uses ``priors[k]``."""
+
+    priors: tuple
+    sizes: tuple  # static block lengths summing to the last-axis size
+
+    def estim(self, rhat, rvar):
+        off = 0
+        xs, vs = [], []
+        for prior, size in zip(self.priors, self.sizes):
+            rv = rvar[..., off : off + size] if jnp.ndim(rvar) else rvar
+            x, v = prior.estim(rhat[..., off : off + size], rv)
+            xs.append(x)
+            vs.append(v * jnp.ones_like(jnp.real(x)))
+            off += size
+        return jnp.concatenate(xs, axis=-1), jnp.concatenate(vs, axis=-1)
+
+    def init_moments(self):
+        ms, vs = [], []
+        for prior, size in zip(self.priors, self.sizes):
+            m, v = prior.init_moments()
+            ms.append(jnp.broadcast_to(m, (size,)))
+            vs.append(jnp.broadcast_to(v, (size,)))
+        return jnp.concatenate(ms), jnp.concatenate(vs)
+
+
+_register(ConcatPrior, ("priors",), ("sizes",))
+
+
+@dataclasses.dataclass(frozen=True)
+class DiracLikelihood:
+    """Noiseless observation y = z exactly (``main/DiracEstimOut.m``)."""
+
+    y: jnp.ndarray
+
+    def estim(self, phat, pvar):
+        return (
+            self.y * jnp.ones_like(phat),
+            jnp.zeros(jnp.shape(phat), dtype=jnp.result_type(pvar)),
+        )
+
+
+_register(DiracLikelihood, ("y",))
+
+
+@dataclasses.dataclass(frozen=True)
+class MaskedLikelihood:
+    """Missing-data wrapper (``main/MaskedEstimOut.m``): where ``mask`` is 0
+    the measurement is unobserved and the posterior equals the prior
+    message (phat, pvar); elsewhere the base likelihood applies."""
+
+    base: object
+    mask: jnp.ndarray  # 0/1 (or bool), broadcastable to z
+
+    def estim(self, phat, pvar):
+        zb, vb = self.base.estim(phat, pvar)
+        keep = self.mask.astype(bool)
+        return jnp.where(keep, zb, phat), jnp.where(keep, vb, pvar)
+
+
+_register(MaskedLikelihood, ("base", "mask"))
+
+
+@dataclasses.dataclass(frozen=True)
+class GaussMixLikelihood:
+    """K-component zero-mean Gaussian-mixture noise y = z + w,
+    w ~ Σ_k w_k·N(0, v_k) (``main/GaussMixEstimOut.m`` /
+    ``CGaussMixEstimOut.m``; the 2-component :class:`OutlierLikelihood`
+    specializes this).  Real or complex (circular) per the dtype of y."""
+
+    y: jnp.ndarray
+    weights: jnp.ndarray  # (K,)
+    variances: jnp.ndarray  # (K,)
+
+    def estim(self, phat, pvar):
+        r = (self.y - phat)[..., None]
+        v = pvar[..., None] + self.variances
+        if jnp.iscomplexobj(self.y) or jnp.iscomplexobj(phat):
+            loglike = -(jnp.log(jnp.pi) + jnp.log(v) + jnp.abs(r) ** 2 / v)
+        else:
+            loglike = -0.5 * (jnp.log(2 * jnp.pi) + jnp.log(v) + r**2 / v)
+        logw = jnp.log(self.weights) + loglike
+        logw = logw - jax.scipy.special.logsumexp(logw, axis=-1, keepdims=True)
+        resp = jnp.exp(logw)
+        gain = pvar[..., None] / v
+        zk = phat[..., None] + gain * r
+        vk = self.variances * gain
+        zhat = jnp.sum(resp * zk, axis=-1)
+        ez2 = jnp.sum(resp * (jnp.abs(zk) ** 2 + vk), axis=-1)
+        return zhat, jnp.maximum(ez2 - jnp.abs(zhat) ** 2, 1e-12)
+
+
+_register(GaussMixLikelihood, ("y", "weights", "variances"))
+
+
+@dataclasses.dataclass(frozen=True)
+class CMultAwgnLikelihood:
+    """Known per-entry complex gain y = c∘z + CN(0, wvar)
+    (``main/CMultAwgnEstimOut.m``) — the fading / calibration-known channel.
+    Gaussian×Gaussian posterior in precision form."""
+
+    y: jnp.ndarray
+    c: jnp.ndarray
+    wvar: jnp.ndarray
+
+    def estim(self, phat, pvar):
+        prec = 1.0 / pvar + jnp.abs(self.c) ** 2 / self.wvar
+        zvar = 1.0 / prec
+        zhat = zvar * (phat / pvar + jnp.conj(self.c) * self.y / self.wvar)
+        return zhat, zvar
+
+
+_register(CMultAwgnLikelihood, ("y", "c", "wvar"))
+
+
+@dataclasses.dataclass(frozen=True)
+class HingeLikelihood:
+    """SVM hinge-loss channel p(y|z) ∝ exp(−scale·max(0, 1 − s·z)),
+    s = ±1 from y ∈ {0,1}, real z — the ``TestSVMGAMP`` capability.
+
+    Exact posterior: the likelihood is flat on s·z ≥ 1 and exponential on
+    s·z < 1, so (in the mirrored coordinate u = s·z ~ N(s·phat, pvar)) the
+    posterior splits at u = 1 into a plain truncated Gaussian
+    TN(mu, pvar, [1, ∞)) and a tilted one TN(mu + c·pvar, pvar, (−∞, 1]),
+    with log-weights log Φ((mu−1)/σ) and c·(mu − 1) + c²·pvar/2 +
+    log Φ((1 − mu − c·pvar)/σ) — the same two-branch structure as
+    :class:`LaplaceLikelihood`."""
+
+    y: jnp.ndarray
+    scale: jnp.ndarray = 1.0
+
+    def estim(self, phat, pvar):
+        s = 2.0 * self.y - 1.0
+        mu = s * phat  # posterior of u = s·z, then mirror back
+        sig = jnp.sqrt(pvar)
+        c = self.scale
+        logcdf = jax.scipy.stats.norm.logcdf
+        mt = mu + c * pvar  # tilted-branch untruncated mean
+        logw_flat = logcdf((mu - 1.0) / sig)
+        logw_tilt = c * (mu - 1.0) + 0.5 * c**2 * pvar + logcdf((1.0 - mt) / sig)
+        wmax = jnp.maximum(logw_flat, logw_tilt)
+        wf = jnp.exp(logw_flat - wmax)
+        wt = jnp.exp(logw_tilt - wmax)
+        pi_f = wf / (wf + wt)
+        mean_f, var_f, _ = _tn_moments(mu, pvar, 1.0, jnp.inf)
+        mean_t, var_t, _ = _tn_moments(mt, pvar, -jnp.inf, 1.0)
+        uhat = pi_f * mean_f + (1 - pi_f) * mean_t
+        eu2 = pi_f * (mean_f**2 + var_f) + (1 - pi_f) * (mean_t**2 + var_t)
+        return s * uhat, jnp.maximum(eu2 - uhat**2, 1e-12)
+
+
+_register(HingeLikelihood, ("y", "scale"))
+
+
+@dataclasses.dataclass(frozen=True)
+class ConcatLikelihood:
+    """Blockwise likelihood over the last axis (``main/EstimOutConcat.m``)."""
+
+    likes: tuple
+    sizes: tuple
+
+    def estim(self, phat, pvar):
+        off = 0
+        zs, vs = [], []
+        for like, size in zip(self.likes, self.sizes):
+            pv = pvar[..., off : off + size] if jnp.ndim(pvar) else pvar
+            z, v = like.estim(phat[..., off : off + size], pv)
+            zs.append(z)
+            vs.append(v * jnp.ones_like(jnp.real(z)))
+            off += size
+        return jnp.concatenate(zs, axis=-1), jnp.concatenate(vs, axis=-1)
+
+
+_register(ConcatLikelihood, ("likes",), ("sizes",))
