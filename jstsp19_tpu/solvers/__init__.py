@@ -49,6 +49,7 @@ from jstsp19_tpu.solvers.bigamp import (  # noqa: F401
     bigamp_mc,
     bigamp_rpca,
     em_bigamp_mc,
+    em_bigamp_dl,
 )
 from jstsp19_tpu.solvers.pbigamp import pbigamp  # noqa: F401
 from jstsp19_tpu.solvers.hutamp import hutamp  # noqa: F401

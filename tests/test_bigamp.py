@@ -106,3 +106,32 @@ def test_em_bigamp_mc_learns_noise_and_rank():
     assert nmse < 1e-2, nmse
     assert res.rank == R, (res.rank, res.bic)
     assert 0.2 * nv_true < float(res.noise_var) < 5 * nv_true
+
+
+def test_em_bigamp_dl_learns_sparse_codes():
+    """EM-BiGAMP dictionary learning (EMBiGAMP_DL.m capability): recover a
+    dictionary-sparse factorization and its hyperparameters (activity,
+    slab variance, noise) from data alone."""
+    from jstsp19_tpu.solvers.bigamp import em_bigamp_dl
+
+    key = jax.random.PRNGKey(7)
+    L, R, M = 24, 5, 400
+    lam_true = 0.15
+    kA, kX, kS, kN = jax.random.split(key, 4)
+    A = (jax.random.normal(kA, (L, R)) + 1j * jax.random.normal(
+        jax.random.fold_in(kA, 1), (L, R))) / np.sqrt(2)
+    support = jax.random.uniform(kS, (R, M)) < lam_true
+    X = support * (jax.random.normal(kX, (R, M)) + 1j * jax.random.normal(
+        jax.random.fold_in(kX, 1), (R, M))) / np.sqrt(2)
+    Z = A @ X
+    nv = 1e-4 * float(jnp.mean(jnp.abs(Z) ** 2))
+    noise = jnp.sqrt(nv / 2) * (jax.random.normal(kN, (L, M))
+                                + 1j * jax.random.normal(jax.random.fold_in(kN, 1), (L, M)))
+    Y = Z + noise
+
+    res = em_bigamp_dl(Y, rank=R, key=jax.random.PRNGKey(3))
+    err = float(jnp.sum(jnp.abs(res.Z - Z) ** 2) / jnp.sum(jnp.abs(Z) ** 2))
+    assert err < 0.05
+    # hyperparameters learned to the right scale
+    assert 0.05 < float(res.sparsity) < 0.45
+    assert float(res.noise_var) < 0.05 * float(jnp.mean(jnp.abs(Z) ** 2))
