@@ -59,6 +59,7 @@ class PointConfig:
     methods: Tuple[str, ...] = ("ls", "vamp", "omp_mmv", "proposed", "proposed_angles")
     admm_mode: str = "approximate"
     svt_method: str = "eigh"  # 'jacobi' = eigh-free inner loop (ops/jacobi.py)
+    track_rounds: int = 8  # Jacobi refresh rounds/iter for svt_method='tracked''
     vamp_nit: int = 100
     vamp_true_noise: bool = False  # reference passes sigma=1 (plot_errorVSsnr.m:100)
     rho_scale: float = 1.0  # plot_errorVSzy.m uses rho/2 (:65)
@@ -145,6 +146,7 @@ def realization_errors(
             res = proposed_admm(
                 obs.Y, obs.Omega, A_p, B_p, pc.Imax, tau_Y, tau_S, rho,
                 mode=pc.admm_mode, svt_method=pc.svt_method,
+                track_rounds=pc.track_rounds,
             )
             out["proposed"] = clamped_nmse(res.S, ch.Zbar)
         if "svt" in pc.methods or "tssr" in pc.methods:
@@ -166,6 +168,7 @@ def realization_errors(
             res_a = proposed_admm_angles(
                 obs.Y, obs.Omega, indx, A_p, B_p, pc.Imax, tau_Y, tau_S, rho,
                 mode=pc.admm_mode, svt_method=pc.svt_method,
+                track_rounds=pc.track_rounds,
             )
             out["proposed_angles"] = clamped_nmse(res_a.S, ch.Zbar)
 

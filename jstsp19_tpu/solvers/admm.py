@@ -76,7 +76,10 @@ def admm_hyperparams(Y_obs: jnp.ndarray, Zbar_ref: jnp.ndarray, top_k: int = 6):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("Imax", "mode", "track_convergence", "conv_norm", "svt_method"),
+    static_argnames=(
+        "Imax", "mode", "track_convergence", "conv_norm", "svt_method",
+        "track_rounds",
+    ),
 )
 def proposed_admm(
     subY: jnp.ndarray,
@@ -95,6 +98,7 @@ def proposed_admm(
     conv_norm: str = "spectral",
     init_state: Optional[AdmmState] = None,
     svt_method: str = "eigh",
+    track_rounds: int = 8,
 ) -> AdmmResult:
     """Joint matrix-completion + beamspace-sparse ADMM.
 
@@ -186,7 +190,7 @@ def proposed_admm(
         from jstsp19_tpu.ops.jacobi import _round_robin_schedule
 
         sched = jnp.asarray(_round_robin_schedule(N))  # (N-1, 2, N/2)
-        TRACK_ROUNDS = 8
+        TRACK_ROUNDS = track_rounds
         eyeN = jnp.eye(N, dtype=cdt)
 
         def _track_rounds(T, U, start):
