@@ -77,6 +77,25 @@ def error_vs_snr(n_mc=8, seed=0, mesh=None, methods=None, **kw):
     )
 
 
+@_register("error_vs_snr_quirks")
+def error_vs_snr_quirks(n_mc=64, seed=0, mesh=None, methods=None, **kw):
+    """``plot_errorVSsnr.m`` under the reference-quirks channel ensemble.
+
+    Same driver as :func:`error_vs_snr` but with ``channel_quirks=True`` so
+    the Monte-Carlo ensemble is the one the committed reference artifacts
+    (``results/errorVSsnr_angles.fig``) were actually generated from —
+    cosh angle sampler, tap-1 steering reuse, cluster double-count
+    (``wideband_mmwave_channel.m:24-30,56-62``).  This is the NMSE parity
+    mode; see PARITY.md.
+    """
+    methods = tuple(methods or ("ls", "vamp", "omp_mmv", "proposed", "proposed_angles"))
+    base = PointConfig(methods=methods, channel_quirks=True, **kw)
+    return run_sweep(
+        "error_vs_snr_quirks", "snr_db", list(range(-15, 16, 3)),
+        point_fn=lambda s: base, noise_fn=_nv, n_mc=n_mc, seed=seed, mesh=mesh,
+    )
+
+
 @_register("error_vs_framelength")
 def error_vs_framelength(n_mc=8, seed=0, mesh=None, **kw):
     """``plot_errorVSframelength.m``: T ∈ {5,15,25,35}, Nt=8, SNR −15 dB,

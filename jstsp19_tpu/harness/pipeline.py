@@ -62,7 +62,14 @@ class PointConfig:
     track_rounds: int = 8  # Jacobi refresh rounds/iter for svt_method='tracked''
     vamp_nit: int = 100
     vamp_true_noise: bool = False  # reference passes sigma=1 (plot_errorVSsnr.m:100)
+    # Run VAMP on the reference's normal-equations form y=vec(Y·Bᴴ),
+    # Phi=kron((B·Bᴴ).',A) (plot_errorVSsnr.m:79-80).  With the reference's
+    # fixed wvar=1 the two forms are NOT equivalent (the Bᴴ-correlation
+    # rescales signal vs assumed noise); the normal-equations form matches
+    # the committed VAMP curves, the direct form diverges at high SNR.
+    vamp_normal_eq: bool = True
     rho_scale: float = 1.0  # plot_errorVSzy.m uses rho/2 (:65)
+    channel_quirks: bool = False  # reproduce the reference's broken ensemble
 
     @property
     def T_prop(self) -> int:
@@ -106,7 +113,8 @@ def realization_errors(
         ch = channel_from_taps(H_ext, pc.Gr, pc.Gt)
     else:
         ch = wideband_mmwave_channel(
-            k_ch, pc.L, pc.Nr, pc.Nt, pc.n_clusters, pc.n_rays, pc.Gr, pc.Gt
+            k_ch, pc.L, pc.Nr, pc.Nt, pc.n_clusters, pc.n_rays, pc.Gr, pc.Gt,
+            quirks=pc.channel_quirks,
         )
     Psi = qam4_training_frames(k_tr, pc.Nt, pc.T_prop, pc.L)
     N = awgn(k_n, pc.Nr, pc.T_prop, noise_var)
@@ -123,9 +131,17 @@ def realization_errors(
             out["ls"] = clamped_nmse(ls_estimate(Y_c, A_c, B_c), ch.Zbar)
         if "vamp" in pc.methods:
             nv = noise_var if pc.vamp_true_noise else 1.0
-            S_vamp = vamp_mmwave(
-                Y_c, A_c, B_c, nv, pc.num_nonzero, nit=pc.vamp_nit
-            )
+            if pc.vamp_normal_eq:
+                # vec(Y·Bᴴ) = vec(A·X·(B·Bᴴ)): the reference's Phi operator
+                # in matrix form, still kron-free (plot_errorVSsnr.m:79-80).
+                S_vamp = vamp_mmwave(
+                    Y_c @ B_c.conj().T, A_c, B_c @ B_c.conj().T, nv,
+                    pc.num_nonzero, nit=pc.vamp_nit,
+                )
+            else:
+                S_vamp = vamp_mmwave(
+                    Y_c, A_c, B_c, nv, pc.num_nonzero, nit=pc.vamp_nit
+                )
             out["vamp"] = clamped_nmse(S_vamp, ch.Zbar)
         if "omp_mmv" in pc.methods:
             # spx joint OMP on Y·pinv(B) (`plot_errorVSsnr.m:116-118`).

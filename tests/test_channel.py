@@ -98,3 +98,72 @@ def test_channel_jits_and_vmaps(key):
     out = f(jax.random.split(key, 5))
     assert out.shape == (5, 8, 8)
     assert jnp.all(jnp.isfinite(out.real))
+
+
+# ---------------------------------------------------------------------------
+# Reference-quirks parity mode (wideband_mmwave_channel.m:24-30,56-62)
+# ---------------------------------------------------------------------------
+
+def test_quirk_laplacian_matches_matlab_formula(key):
+    from jstsp19_tpu.channel.widemmwave import quirk_laplacian
+
+    x = np.asarray(quirk_laplacian(key, (20000,)))
+    # x = beta*(exp(-sqrt(2)pi/50) - cosh(u)), u~U(0,1):
+    # range is [beta*(c - cosh(1)), beta*(c - 1)] ~= [-7.39, -1.00]
+    c = np.exp(-np.sqrt(2) * np.pi / 50)
+    beta = 1 / (1 - c)
+    lo, hi = beta * (c - np.cosh(1.0)), beta * (c - 1.0)
+    assert x.min() >= lo - 1e-3 and x.max() <= hi + 1e-3
+    # cosh is monotone on (0,1) so quantiles map through; check the median
+    med_expected = beta * (c - np.cosh(0.5))
+    assert abs(np.median(x) - med_expected) < 0.1
+
+
+def test_channel_quirks_tap1_steering_reuse(key):
+    # Every tap's H_l must lie in span(Ar[0]) x span(At[0]) (the MATLAB
+    # 2-subscript Ar(:, index) linear-indexing quirk, :24).
+    ch = wideband_mmwave_channel(
+        key, L=4, Mr=32, Mt=8, n_clusters=2, n_rays=3, Gr=32, Gt=8, quirks=True
+    )
+    Ar0 = np.asarray(ch.Ar[0]).T  # (Mr, Np)
+    P = Ar0 @ np.linalg.pinv(Ar0)  # projector onto col span
+    for l in range(4):
+        Hl = np.asarray(ch.H[l])
+        resid = np.linalg.norm(Hl - P @ Hl) / np.linalg.norm(Hl)
+        assert resid < 1e-5, f"tap {l} leaves tap-1 column span: {resid}"
+
+
+def test_channel_quirks_low_rank_stacked(key):
+    # Shared steering across taps caps the stacked beamspace rank at Np
+    # (vs min(Gr, L*Gt) for the paper model).
+    ch = wideband_mmwave_channel(
+        key, L=4, Mr=32, Mt=4, n_clusters=2, n_rays=3, Gr=32, Gt=4, quirks=True
+    )
+    s = np.linalg.svd(np.asarray(ch.Zbar), compute_uv=False)
+    assert (s > 1e-5 * s[0]).sum() <= 6
+
+
+def test_channel_quirks_cluster_double_count_energy(key):
+    # Cluster weights (C-c+1) raise per-entry energy by sum(w^2)/Np:
+    # C=2, R=3 -> (4*3 + 1*3)/6 = 2.5x the paper model's 1.0.
+    keys = jax.random.split(key, 300)
+    Hq = jax.vmap(
+        lambda k: wideband_mmwave_channel(
+            k, 2, 16, 4, 2, 3, 16, 4, quirks=True
+        ).H
+    )(keys)
+    e = float(jnp.mean(jnp.abs(Hq) ** 2))
+    assert 2.0 < e < 3.0, e
+
+
+def test_channel_quirks_jits_and_vmaps(key):
+    f = jax.jit(
+        jax.vmap(
+            lambda k: wideband_mmwave_channel(
+                k, 2, 8, 4, 2, 2, 8, 4, quirks=True
+            ).Zbar
+        )
+    )
+    out = f(jax.random.split(key, 5))
+    assert out.shape == (5, 8, 8)
+    assert jnp.all(jnp.isfinite(out.real))
