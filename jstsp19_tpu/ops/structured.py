@@ -300,3 +300,284 @@ def rbf_kernel_op(X: jnp.ndarray, gamma: float = 1.0) -> MatrixOp:
     sq = jnp.sum(jnp.abs(X) ** 2, axis=-1)
     d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.real(X @ X.conj().T)
     return MatrixOp(jnp.exp(-gamma * jnp.maximum(d2, 0.0)))
+
+
+# ---------------------------------------------------------------------------
+# GAMP-core operator wrappers (round 2): mean removal, uniform variance,
+# function-handle operators — `main/LinTransDemeanRC.m`, `main/UnifVarLinTrans.m`,
+# `main/FxnhandleLinTrans.m`.
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class DemeanRCOp(LinOp):
+    """Row+column mean-removal augmentation of a vector-domain operator.
+
+    Given base A (m×n), builds the (m+2)×(n+2) operator of
+    ``main/LinTransDemeanRC.m:1-40``:
+
+        Ad = [A − gam·1ᵀ − 1·colᴴ     b12·gam    b13·1 ;
+              b21·1ᵀ                  −b12·b21   0     ;
+              b31·colᴴ                0          −b31·b13]
+
+    with gam = A·1/n (row means), colᴴ = (1ᵀA/m − mu·1ᵀ) (column means after
+    global-mean removal), so that for xd = [x; 1ᵀx/b12; colᴴx/b13],
+    Ad·xd = [A·x; 0; 0].  The de-meaned core has exactly zero row/column
+    means, which is what makes i.i.d.-style GAMP work on mean-heavy
+    operators.  All four variance maps are exact expansions of |Ad|²
+    (``LinTransDemeanRC.m:163-216``), not Frobenius approximations.
+
+    Build with :func:`demean_rc` (precomputes gam/col/b-scalars).
+    """
+
+    base: LinOp
+    gam: jnp.ndarray   # (m,) row means
+    col: jnp.ndarray   # (n,) column means (conjugated convention of MATLAB col)
+    b12: jnp.ndarray
+    b21: jnp.ndarray
+    b13: jnp.ndarray
+    b31: jnp.ndarray
+
+    @property
+    def in_shape(self):
+        return (self.base.in_shape[0] + 2,)
+
+    @property
+    def out_shape(self):
+        return (self.base.out_shape[0] + 2,)
+
+    def mv(self, xd):
+        n = self.base.in_shape[0]
+        x, xr, xc = xd[..., :n], xd[..., n], xd[..., n + 1]
+        zr = self.b21 * (jnp.sum(x, -1) - self.b12 * xr)
+        zc = self.b31 * (jnp.sum(self.col.conj() * x, -1) - self.b13 * xc)
+        z = (
+            self.base.mv(x)
+            - self.gam * (zr / self.b21)[..., None]
+            - (zc / self.b31)[..., None]
+        )
+        return jnp.concatenate([z, zr[..., None], zc[..., None]], axis=-1)
+
+    def rmv(self, sd):
+        m = self.base.out_shape[0]
+        s, sr, sc = sd[..., :m], sd[..., m], sd[..., m + 1]
+        xr = self.b12 * (jnp.sum(self.gam.conj() * s, -1) - self.b21 * sr)
+        xc = self.b13 * (jnp.sum(s, -1) - self.b31 * sc)
+        x = (
+            self.base.rmv(s)
+            - (xr / self.b12)[..., None]
+            - self.col * (xc / self.b13)[..., None]
+        )
+        return jnp.concatenate([x, xr[..., None], xc[..., None]], axis=-1)
+
+    def sq_mv(self, xd):
+        n = self.base.in_shape[0]
+        gam2 = jnp.abs(self.gam) ** 2
+        col2 = jnp.abs(self.col) ** 2
+        xv, xvr, xvc = xd[..., :n], xd[..., n], xd[..., n + 1]
+        pvr = self.b21**2 * (jnp.sum(xv, -1) + self.b12**2 * xvr)
+        pvc = self.b31**2 * (jnp.sum(col2 * xv, -1) + self.b13**2 * xvc)
+        pv = (
+            self.base.sq_mv(xv)
+            - 2.0 * jnp.real(self.gam.conj() * self.base.mv(xv))
+            - 2.0 * jnp.real(self.base.mv(self.col * xv))
+            + 2.0 * jnp.real(self.gam * jnp.sum(self.col * xv, -1)[..., None])
+            + (pvc / self.b31**2)[..., None]
+            + gam2 * (pvr / self.b21**2)[..., None]
+        )
+        return jnp.concatenate(
+            [jnp.maximum(jnp.real(pv), 0.0), pvr[..., None], pvc[..., None]],
+            axis=-1,
+        )
+
+    def sq_rmv(self, sd):
+        m = self.base.out_shape[0]
+        gam2 = jnp.abs(self.gam) ** 2
+        col2 = jnp.abs(self.col) ** 2
+        sv, svr, svc = sd[..., :m], sd[..., m], sd[..., m + 1]
+        rvr = self.b12**2 * (jnp.sum(gam2 * sv, -1) + self.b21**2 * svr)
+        rvc = self.b13**2 * (jnp.sum(sv, -1) + self.b31**2 * svc)
+        rv = (
+            self.base.sq_rmv(sv)
+            - 2.0 * jnp.real(self.col.conj() * self.base.rmv(sv))
+            - 2.0 * jnp.real(self.base.rmv(self.gam * sv))
+            + 2.0 * jnp.real(self.col * jnp.sum(self.gam * sv, -1)[..., None])
+            + (rvr / self.b12**2)[..., None]
+            + col2 * (rvc / self.b13**2)[..., None]
+        )
+        return jnp.concatenate(
+            [jnp.maximum(jnp.real(rv), 0.0), rvr[..., None], rvc[..., None]],
+            axis=-1,
+        )
+
+    # -- state expansion helpers (LinTransDemeanRC expandXhat/expandXvar) --
+    def expand_xhat(self, x):
+        xr = jnp.sum(x, -1, keepdims=True) / self.b12
+        xc = jnp.sum(self.col.conj() * x, -1, keepdims=True) / self.b13
+        return jnp.concatenate([x, xr, xc], axis=-1)
+
+    def expand_xvar(self, xv):
+        xvr = jnp.sum(xv, -1, keepdims=True) / self.b12**2
+        xvc = jnp.sum(jnp.abs(self.col) ** 2 * xv, -1, keepdims=True) / self.b13**2
+        return jnp.concatenate([xv, xvr, xvc], axis=-1)
+
+    def expand_out(self, z, fill=0.0):
+        pad = jnp.full(z.shape[:-1] + (2,), fill, z.dtype)
+        return jnp.concatenate([z, pad], axis=-1)
+
+    def contract(self, xd):
+        return xd[..., : self.base.in_shape[0]]
+
+    def contract_out(self, zd):
+        return zd[..., : self.base.out_shape[0]]
+
+
+_register(DemeanRCOp, ("base", "gam", "col", "b12", "b21", "b13", "b31"))
+
+
+def demean_rc(base: LinOp) -> DemeanRCOp:
+    """Build the row+column demeaned augmentation of a vector-domain op
+    (``LinTransDemeanRC.m:80-98`` constructor math)."""
+    (n,) = base.in_shape
+    (m,) = base.out_shape
+    ones_n = jnp.ones((n,), jnp.result_type(base.mv(jnp.zeros((n,)))))
+    A1 = base.mv(ones_n)
+    mu = jnp.sum(A1) / (m * n)
+    col = base.rmv(jnp.ones((m,), A1.dtype)) / m - jnp.conj(mu) * ones_n
+    gam = A1 / n
+    gam2 = jnp.abs(gam) ** 2
+    col2 = jnp.abs(col) ** 2
+    fro2 = (
+        jnp.sum(base.sq_mv(jnp.real(ones_n)))
+        - 2.0
+        * jnp.real(
+            jnp.vdot(gam, A1)
+            + jnp.sum(base.mv(col))
+            + jnp.sum(gam) * jnp.sum(col)
+        )
+        + n * jnp.sum(gam2)
+        + m * jnp.sum(col2)
+    )
+    fro2 = jnp.maximum(jnp.real(fro2), 1e-30)
+    b12 = jnp.minimum(1.0, jnp.sqrt(fro2 / (n * jnp.maximum(jnp.sum(gam2), 1e-30))))
+    b21 = jnp.sqrt(fro2 / (m * (n + b12**2)))
+    b13 = jnp.sqrt(fro2 / (n * m))
+    b31 = jnp.sqrt(fro2 / (m * (jnp.sum(col2) + b13**2)))
+    return DemeanRCOp(base=base, gam=gam, col=col, b12=b12, b21=b21, b13=b13, b31=b31)
+
+
+@dataclasses.dataclass(frozen=True)
+class UnifVarOp(LinOp):
+    """Uniform-variance wrapper (``main/UnifVarLinTrans.m``): the variance
+    maps ``sq_mv``/``sq_rmv`` first replace the leading ``in_avg``/``out_avg``
+    input entries by their mean, then replace the corresponding leading
+    output entries by their mean — the ``GampOpt.uniformVariance`` mode.
+    ``mv``/``rmv`` pass through unchanged.  Defaults average everything;
+    the demeaned combination passes ``in_avg=n``/``out_avg=m`` to leave the
+    two augmentation entries per side un-averaged
+    (``gampEst.m:283-289``).
+    """
+
+    base: LinOp
+    in_avg: int = -1   # -1 = all
+    out_avg: int = -1
+
+    @property
+    def in_shape(self):
+        return self.base.in_shape
+
+    @property
+    def out_shape(self):
+        return self.base.out_shape
+
+    def mv(self, x):
+        return self.base.mv(x)
+
+    def rmv(self, y):
+        return self.base.rmv(y)
+
+    def _avg(self, v, k):
+        if k < 0 or k >= v.shape[-1]:
+            return jnp.broadcast_to(jnp.mean(v, -1, keepdims=True), v.shape)
+        head = jnp.mean(v[..., :k], -1, keepdims=True)
+        return jnp.concatenate(
+            [jnp.broadcast_to(head, v[..., :k].shape), v[..., k:]], axis=-1
+        )
+
+    def sq_mv(self, x):
+        return self._avg(self.base.sq_mv(self._avg(x, self.in_avg)), self.out_avg)
+
+    def sq_rmv(self, y):
+        return self._avg(self.base.sq_rmv(self._avg(y, self.out_avg)), self.in_avg)
+
+
+_register(UnifVarOp, ("base",), ("in_avg", "out_avg"))
+
+
+@dataclasses.dataclass(frozen=True)
+class FxnhandleOp(LinOp):
+    """Operator from forward/adjoint callables (``main/FxnhandleLinTrans.m``)
+    with the LinTrans base-class Frobenius rank-1 variance approximation
+    (``main/LinTrans.m:30-39``): ``sq_mv(x) ≈ (‖A‖²_F/(m·n))·1·Σx``.
+
+    Build with :func:`fxnhandle_op`, which estimates ‖A‖²_F by Gaussian
+    probing when not supplied (the MATLAB class does the same).
+    """
+
+    mv_fn: object        # static callable
+    rmv_fn: object
+    shape_in: tuple
+    shape_out: tuple
+    fro2: jnp.ndarray
+
+    @property
+    def in_shape(self):
+        return self.shape_in
+
+    @property
+    def out_shape(self):
+        return self.shape_out
+
+    def mv(self, x):
+        return self.mv_fn(x)
+
+    def rmv(self, y):
+        return self.rmv_fn(y)
+
+    def _numel(self, shape):
+        k = 1
+        for s in shape:
+            k *= s
+        return k
+
+    def sq_mv(self, x):
+        m, n = self._numel(self.shape_out), self._numel(self.shape_in)
+        return jnp.full(self.shape_out, self.fro2 / (m * n) * jnp.sum(x))
+
+    def sq_rmv(self, y):
+        m, n = self._numel(self.shape_out), self._numel(self.shape_in)
+        return jnp.full(self.shape_in, self.fro2 / (m * n) * jnp.sum(y))
+
+
+_register(FxnhandleOp, ("fro2",), ("mv_fn", "rmv_fn", "shape_in", "shape_out"))
+
+
+def fxnhandle_op(mv_fn, rmv_fn, in_shape, out_shape, fro2=None, key=None,
+                 n_probe: int = 8) -> FxnhandleOp:
+    """Wrap callables as a LinOp; estimate ‖A‖²_F = E‖A·g‖² (g ~ CN(0,I))
+    by probing when not given (``FxnhandleLinTrans.m`` / ``LinTrans.m``
+    FrobNorm estimation)."""
+    if fro2 is None:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        kr, ki = jax.random.split(key)
+        g = (
+            jax.random.normal(kr, (n_probe,) + tuple(in_shape))
+            + 1j * jax.random.normal(ki, (n_probe,) + tuple(in_shape))
+        ) / np.sqrt(2.0)
+        fro2 = jnp.mean(
+            jax.vmap(lambda v: jnp.sum(jnp.abs(mv_fn(v)) ** 2))(g)
+        )
+    return FxnhandleOp(
+        mv_fn=mv_fn, rmv_fn=rmv_fn, shape_in=tuple(in_shape),
+        shape_out=tuple(out_shape), fro2=jnp.asarray(fro2),
+    )

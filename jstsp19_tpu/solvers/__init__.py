@@ -40,9 +40,22 @@ from jstsp19_tpu.solvers.estim import (  # noqa: F401
     CMultAwgnLikelihood,
     HingeLikelihood,
     ConcatLikelihood,
+    BGZeroMeanPrior,
+    EllpDMMPrior,
+    SoftThreshDMMPrior,
+    FxnhandlePrior,
+    MultiSNIPEPrior,
+    L1Likelihood,
+    NLLikelihood,
 )
 from jstsp19_tpu.solvers.vamp import vamp_glm, vamp_mmwave  # noqa: F401
 from jstsp19_tpu.solvers.gamp import gamp, fista, amp, sure_amp  # noqa: F401
+from jstsp19_tpu.solvers.gamp_full import (  # noqa: F401
+    GampOptions,
+    GampState,
+    GampEstFin,
+    gamp_est,
+)
 from jstsp19_tpu.solvers.vamp_slm import vamp_slm, vamp_slm_se  # noqa: F401
 from jstsp19_tpu.solvers.bigamp import (  # noqa: F401
     bigamp,

@@ -116,6 +116,25 @@ class CAwgnPrior:
         v = self.var0 + rvar
         return -(jnp.log(jnp.pi) + jnp.log(v) + jnp.abs(rhat - self.mean0) ** 2 / v)
 
+    def val_neg_kl(self, rhat, rvar, xhat, xvar):
+        """Per-element negative KL divergence −D(p(x|r) ‖ p(x)) used by
+        the adaptive-step utility (``CAwgnEstimIn.m:147-154``)."""
+        ratio = rvar / (self.var0 + rvar)
+        return (
+            jnp.log(ratio) + (1.0 - ratio)
+            - jnp.abs(xhat - self.mean0) ** 2 / self.var0
+        )
+
+    def estim_map(self, rhat, rvar):
+        """Max-sum (MAP) branch — coincides with MMSE for a Gaussian prior
+        (``CAwgnEstimIn.m`` maxSumVal=true)."""
+        return self.estim(rhat, rvar)
+
+    def val_map(self, xhat):
+        """log p(xhat) for the max-sum utility (``CAwgnEstimIn.m:160-166``)."""
+        return -(jnp.log(jnp.pi) + jnp.log(self.var0)
+                 + jnp.abs(xhat - self.mean0) ** 2 / self.var0)
+
     def init_moments(self):
         return self.mean0, self.var0
 
@@ -137,6 +156,21 @@ class AwgnPrior:
     def loglikey(self, rhat, rvar):
         v = self.var0 + rvar
         return -0.5 * (jnp.log(2 * jnp.pi) + jnp.log(v) + (rhat - self.mean0) ** 2 / v)
+
+    def val_neg_kl(self, rhat, rvar, xhat, xvar):
+        """Real-Gaussian −D(p(x|r) ‖ p(x)) (``AwgnEstimIn.m`` val)."""
+        ratio = rvar / (self.var0 + rvar)
+        return 0.5 * (
+            jnp.log(ratio) + (1.0 - ratio)
+            - (xhat - self.mean0) ** 2 / self.var0
+        )
+
+    def estim_map(self, rhat, rvar):
+        return self.estim(rhat, rvar)
+
+    def val_map(self, xhat):
+        return -0.5 * (jnp.log(2 * jnp.pi) + jnp.log(self.var0)
+                       + (xhat - self.mean0) ** 2 / self.var0)
 
     def init_moments(self):
         return self.mean0, self.var0
@@ -179,6 +213,32 @@ class SparsePrior:
         xvar = self.p1 * (jnp.abs(m1) ** 2 + v1) - jnp.abs(xhat) ** 2
         return xhat, xvar
 
+    def _activity(self, rhat, rvar):
+        rvar = jnp.maximum(rvar, jnp.finfo(jnp.float32).eps)
+        loglike1 = self.base.loglikey(rhat, rvar)
+        if jnp.iscomplexobj(rhat):
+            loglike0 = -(jnp.log(jnp.pi) + jnp.log(rvar) + jnp.abs(rhat) ** 2 / rvar)
+        else:
+            loglike0 = -0.5 * (
+                jnp.log(2 * jnp.pi) + jnp.log(rvar) + rhat**2 / rvar
+            )
+        exparg = loglike0 - loglike1 + jnp.log1p(-self.p1) - jnp.log(self.p1)
+        return 1.0 / (1.0 + jnp.exp(jnp.clip(exparg, -_MAXARG, _MAXARG)))
+
+    def val_neg_kl(self, rhat, rvar, xhat, xvar):
+        """Spike-slab negative KL: activity-weighted slab KL plus the
+        Bernoulli mixing entropy terms (``SparseScaEstim.m:166-171``)."""
+        py1 = self._activity(rhat, rvar)
+        py0 = 1.0 - py1
+        x1, v1 = self.base.estim(rhat, rvar)
+        kl1 = self.base.val_neg_kl(rhat, rvar, x1, v1)
+        p1 = jnp.clip(self.p1, 1e-8, 1.0)
+        return (
+            py1 * kl1
+            + py1 * jnp.log(jnp.maximum(p1, 1e-8) / jnp.maximum(py1, 1e-8))
+            + py0 * jnp.log(jnp.maximum(1.0 - p1, 1e-8) / jnp.maximum(py0, 1e-8))
+        )
+
 
 _register(SparsePrior, ("base", "p1"))
 
@@ -198,6 +258,14 @@ class SoftThreshPrior:
         )
         active = (mag > 0).astype(rvar.dtype if hasattr(rvar, "dtype") else jnp.float32)
         return xhat, rvar * active
+
+    def estim_map(self, rhat, rvar):
+        """Already the Laplacian-MAP prox (``SoftThreshEstimIn.m`` is
+        max-sum only in the reference)."""
+        return self.estim(rhat, rvar)
+
+    def val_map(self, xhat):
+        return -self.lam * jnp.abs(xhat)
 
     def init_moments(self):
         return jnp.zeros(()), 2.0 / self.lam**2
@@ -266,6 +334,44 @@ class CAwgnLikelihood:
         zhat = (self.scale * gain) * (self.y - self.scale * phat) + phat
         return zhat, self.wvar * gain
 
+    def loglike(self, phat, pvar):
+        """E[log p(y|z)] with z ~ CN(phat, pvar) up to the constant
+        −log(π·wvar) (``CAwgnEstimOut.m:218-233``, sum-product branch)."""
+        w = jnp.maximum(self.wvar, 1e-20)
+        return -(jnp.abs(self.y - self.scale * phat) ** 2
+                 + self.scale**2 * pvar) / w
+
+    def logscale(self, axhat, pvar, phat):
+        """Bethe output cost, closed form (``CAwgnEstimOut.m:241-262``)."""
+        w = jnp.maximum(self.wvar, 1e-20)
+        s2 = jnp.abs(self.scale) ** 2
+        return (
+            -jnp.log(s2 * pvar + w)
+            - jnp.abs(self.y - self.scale * axhat) ** 2 / w
+            - jnp.log(jnp.pi)
+        )
+
+    def tune_wvar_ml(self, phat, pvar):
+        """ML noise-variance update
+        ``wvar = mean(|y − s·phat|² − s²·pvar)`` — the ``autoTune``/'ML'
+        method of ``CAwgnEstimOut.m:117-131`` (joint dimension)."""
+        s2 = jnp.abs(self.scale) ** 2
+        w1 = jnp.mean(jnp.abs(self.y - self.scale * phat) ** 2 - s2 * pvar)
+        return jnp.maximum(1e-20, w1)
+
+    def tune_wvar_em(self, zhat, zvar):
+        """EM noise-variance update ``wvar = mean(|y − s·zhat|² + s²·zvar)``
+        from the output-posterior moments — the EM0/'EM' tuning branch of
+        ``CAwgnEstimOut.m:132-146``."""
+        s2 = jnp.abs(self.scale) ** 2
+        w1 = jnp.mean(jnp.abs(self.y - self.scale * zhat) ** 2 + s2 * zvar)
+        return jnp.maximum(1e-20, w1)
+
+    def estim_map(self, phat, pvar):
+        """Max-sum branch — MAP coincides with MMSE for the Gaussian
+        channel (``CAwgnEstimOut.m`` maxSumVal=true)."""
+        return self.estim(phat, pvar)
+
 
 _register(CAwgnLikelihood, ("y", "wvar", "scale"))
 
@@ -290,6 +396,15 @@ class ProbitLikelihood:
         zhat = phat + s * pvar / denom * ratio
         zvar = pvar - pvar**2 / (pvar + self.wvar) * ratio * (alpha + ratio)
         return zhat, jnp.maximum(zvar, 1e-12)
+
+    def loglike(self, phat, pvar):
+        """``log Phi(±(zhat)/sqrt(zvar + wvar))`` — the sum-product logLike
+        of ``classification/ProbitEstimOut.m:340-356`` (jax logcdf is
+        tail-stable, covering the erfcx branch)."""
+        s = 2.0 * self.y - 1.0
+        return jax.scipy.stats.norm.logcdf(
+            s * phat / jnp.sqrt(pvar + self.wvar)
+        )
 
 
 _register(ProbitLikelihood, ("y", "wvar"))
@@ -404,6 +519,15 @@ class LaplacePrior:
         ex2 = pi_p * (mean_p**2 + var_p) + (1 - pi_p) * (mean_m**2 + var_m)
         return xhat, jnp.maximum(ex2 - xhat**2, 1e-30)
 
+    def estim_map(self, rhat, rvar):
+        """Max-sum branch: the soft-threshold prox of lam·|x|
+        (``LaplaceEstimIn.m`` maxSumVal=true path)."""
+        xhat = jnp.sign(rhat) * jnp.maximum(jnp.abs(rhat) - self.lam * rvar, 0.0)
+        return xhat, rvar * (jnp.abs(xhat) > 0)
+
+    def val_map(self, xhat):
+        return jnp.log(self.lam / 2.0) - self.lam * jnp.abs(xhat)
+
     def init_moments(self):
         return jnp.zeros(()), 2.0 / self.lam**2
 
@@ -422,6 +546,13 @@ class UnifPrior:
     def estim(self, rhat, rvar):
         xhat, xvar, _ = _tn_moments(rhat, rvar, self.lo, self.hi)
         return xhat, xvar
+
+    def estim_map(self, rhat, rvar):
+        """Max-sum branch: clip to the support; curvature is rvar strictly
+        inside and 0 at the active bounds."""
+        xhat = jnp.clip(rhat, self.lo, self.hi)
+        interior = (rhat > self.lo) & (rhat < self.hi)
+        return xhat, rvar * interior
 
     def init_moments(self):
         return (self.lo + self.hi) / 2.0, (self.hi - self.lo) ** 2 / 12.0
@@ -726,6 +857,9 @@ class DiracPrior:
         xhat = self.x0 * jnp.ones_like(rhat)
         return xhat, jnp.zeros(jnp.shape(rhat), dtype=jnp.result_type(rvar))
 
+    def estim_map(self, rhat, rvar):
+        return self.estim(rhat, rvar)
+
     def loglikey(self, rhat, rvar):
         if jnp.iscomplexobj(rhat):
             return -(jnp.log(jnp.pi) + jnp.log(rvar) + jnp.abs(rhat - self.x0) ** 2 / rvar)
@@ -744,6 +878,9 @@ class NullPrior:
     equals the incoming Gaussian message."""
 
     def estim(self, rhat, rvar):
+        return rhat, rvar
+
+    def estim_map(self, rhat, rvar):
         return rhat, rvar
 
     def init_moments(self):
@@ -770,6 +907,13 @@ class ElasticNetPrior:
         xhat = xhat / (1.0 + self.lam2 * rvar)
         active = (shrunk > 0).astype(jnp.float32)
         return xhat, jnp.maximum(rvar * active / (1.0 + self.lam2 * rvar), 1e-30)
+
+    def estim_map(self, rhat, rvar):
+        """Already the elastic-net prox (MAP by construction)."""
+        return self.estim(rhat, rvar)
+
+    def val_map(self, xhat):
+        return -self.lam1 * jnp.abs(xhat) - 0.5 * self.lam2 * jnp.abs(xhat) ** 2
 
     def init_moments(self):
         return jnp.zeros(()), 1.0 / (self.lam1**2 + self.lam2)
@@ -799,6 +943,15 @@ class NNSoftThreshPrior:
             - self.lam * rhat
             + jax.scipy.stats.norm.logcdf(m / jnp.sqrt(rvar))
         )
+
+    def estim_map(self, rhat, rvar):
+        """Max-sum branch: prox of lam·x + 1{x≥0}
+        (``NNSoftThreshEstimIn.m`` maxSumVal=true)."""
+        xhat = jnp.maximum(rhat - self.lam * rvar, 0.0)
+        return xhat, rvar * (xhat > 0)
+
+    def val_map(self, xhat):
+        return jnp.log(self.lam) - self.lam * xhat
 
     def init_moments(self):
         return 1.0 / self.lam, 1.0 / self.lam**2
@@ -868,6 +1021,34 @@ class ConcatPrior:
             off += size
         return jnp.concatenate(xs, axis=-1), jnp.concatenate(vs, axis=-1)
 
+    def estim_map(self, rhat, rvar):
+        off = 0
+        xs, vs = [], []
+        for prior, size in zip(self.priors, self.sizes):
+            rv = rvar[..., off : off + size] if jnp.ndim(rvar) else rvar
+            x, v = prior.estim_map(rhat[..., off : off + size], rv)
+            xs.append(x)
+            vs.append(v * jnp.ones_like(jnp.real(x)))
+            off += size
+        return jnp.concatenate(xs, axis=-1), jnp.concatenate(vs, axis=-1)
+
+    def val_neg_kl(self, rhat, rvar, xhat, xvar):
+        """Blockwise input utility; blocks whose prior lacks a cost hook
+        (e.g. the NullPrior augmentation entries of mean removal)
+        contribute zero."""
+        off = 0
+        vals = []
+        for prior, size in zip(self.priors, self.sizes):
+            sl = slice(off, off + size)
+            rv = rvar[..., sl] if jnp.ndim(rvar) else rvar
+            xv = xvar[..., sl] if jnp.ndim(xvar) else xvar
+            if hasattr(prior, "val_neg_kl"):
+                vals.append(prior.val_neg_kl(rhat[..., sl], rv, xhat[..., sl], xv))
+            else:
+                vals.append(jnp.zeros(jnp.shape(rhat[..., sl])))
+            off += size
+        return jnp.concatenate(vals, axis=-1)
+
     def init_moments(self):
         ms, vs = [], []
         for prior, size in zip(self.priors, self.sizes):
@@ -891,6 +1072,17 @@ class DiracLikelihood:
             self.y * jnp.ones_like(phat),
             jnp.zeros(jnp.shape(phat), dtype=jnp.result_type(pvar)),
         )
+
+    def estim_map(self, phat, pvar):
+        return self.estim(phat, pvar)
+
+    def loglike(self, phat, pvar):
+        """Constraint rows carry no data cost (``DiracEstimOut.m`` logLike
+        convention for the mean-removal augmentation)."""
+        return jnp.zeros(jnp.shape(phat))
+
+    def logscale(self, axhat, pvar, phat):
+        return jnp.zeros(jnp.shape(phat))
 
 
 _register(DiracLikelihood, ("y",))
@@ -1023,5 +1215,344 @@ class ConcatLikelihood:
             off += size
         return jnp.concatenate(zs, axis=-1), jnp.concatenate(vs, axis=-1)
 
+    def estim_map(self, phat, pvar):
+        off = 0
+        zs, vs = [], []
+        for like, size in zip(self.likes, self.sizes):
+            pv = pvar[..., off : off + size] if jnp.ndim(pvar) else pvar
+            z, v = like.estim_map(phat[..., off : off + size], pv)
+            zs.append(z)
+            vs.append(v * jnp.ones_like(jnp.real(z)))
+            off += size
+        return jnp.concatenate(zs, axis=-1), jnp.concatenate(vs, axis=-1)
+
+    def _blockwise_cost(self, name, *arrays):
+        off = 0
+        vals = []
+        for like, size in zip(self.likes, self.sizes):
+            sl = slice(off, off + size)
+            blocks = [a[..., sl] if jnp.ndim(a) else a for a in arrays]
+            if hasattr(like, name):
+                vals.append(getattr(like, name)(*blocks))
+            else:
+                vals.append(jnp.zeros(jnp.shape(blocks[0])))
+            off += size
+        return jnp.concatenate(vals, axis=-1)
+
+    def loglike(self, phat, pvar):
+        return self._blockwise_cost("loglike", phat, pvar)
+
+    def logscale(self, axhat, pvar, phat):
+        return self._blockwise_cost("logscale", axhat, pvar, phat)
+
 
 _register(ConcatLikelihood, ("likes",), ("sizes",))
+
+
+@dataclasses.dataclass(frozen=True)
+class BGZeroMeanPrior:
+    """Zero-mean Bernoulli-Gaussian prior, specialized fast path
+    (``main/BGZeroMeanEstimIn.m:49-90``): algebraically identical to
+    ``SparsePrior(AwgnPrior(0, var0), p1)`` but with the intermediate
+    evidence terms folded into one alpha expression.  Real signals (the
+    reference class is real-only; use SparsePrior+CAwgnPrior for complex)."""
+
+    var0: jnp.ndarray = 1.0
+    p1: jnp.ndarray = 0.5
+
+    def estim(self, rhat, rvar):
+        nu = rvar * self.var0 / (self.var0 + rvar)
+        gamma = nu * rhat / rvar
+        exparg = jnp.clip(-0.5 * gamma**2 / nu, -_MAXARG, _MAXARG)
+        alpha = 1.0 + (1.0 - self.p1) / self.p1 * jnp.sqrt(
+            self.var0 / nu
+        ) * jnp.exp(exparg)
+        xhat = gamma / alpha
+        xvar = gamma**2 * (alpha - 1.0) / alpha**2 + nu / alpha
+        return xhat, jnp.maximum(xvar, 1e-30)
+
+    def val_neg_kl(self, rhat, rvar, xhat, xvar):
+        """Spike-slab negative KL in the folded form of
+        ``BGZeroMeanEstimIn.m:70-84``."""
+        nu = rvar * self.var0 / (self.var0 + rvar)
+        gamma = nu * rhat / rvar
+        exparg = jnp.clip(-0.5 * gamma**2 / nu, -_MAXARG, _MAXARG)
+        alpha = 1.0 + (1.0 - self.p1) / self.p1 * jnp.sqrt(
+            self.var0 / nu
+        ) * jnp.exp(exparg)
+        val = 0.5 * (jnp.log(nu / self.var0) + (1.0 - nu / self.var0)
+                     - gamma**2 / self.var0)
+        py1 = 1.0 / alpha
+        py0 = 1.0 - py1
+        p1 = jnp.clip(self.p1, 1e-8, 1.0)
+        return (
+            py1 * val
+            + py1 * jnp.log(jnp.maximum(p1, 1e-8) / jnp.maximum(py1, 1e-8))
+            + py0 * jnp.log(jnp.maximum(1.0 - p1, 1e-8) / jnp.maximum(py0, 1e-8))
+        )
+
+    def init_moments(self):
+        return jnp.zeros(()), self.var0 * self.p1
+
+
+_register(BGZeroMeanPrior, ("var0", "p1"))
+
+
+@dataclasses.dataclass(frozen=True)
+class EllpDMMPrior:
+    """Donoho/Maleki/Montanari l_p thresholder, 0 < p ≤ 1
+    (``main/EllpDMMEstimIn.m:35-52``): the threshold is set adaptively to
+    ``alpha·sqrt(mean(rvar))`` each iteration (the AMP tuning style) rather
+    than from a fixed lambda."""
+
+    alpha: jnp.ndarray = 1.5
+    p: float = 1.0
+
+    def estim(self, rhat, rvar):
+        thresh = self.alpha * jnp.sqrt(jnp.mean(rvar))
+        mag = jnp.maximum(jnp.abs(rhat), 1e-30)
+        shrunk = jnp.maximum(mag - thresh * mag ** (self.p - 1.0), 0.0)
+        xhat = jnp.where(
+            jnp.abs(rhat) > 0, rhat / mag * shrunk, jnp.zeros_like(rhat)
+        )
+        active = (shrunk > 0).astype(jnp.float32)
+        xvar = rvar * (1.0 - thresh * (self.p - 1.0) * mag ** (self.p - 2.0))
+        return xhat, jnp.maximum(jnp.real(xvar) * active, 1e-30)
+
+    def estim_map(self, rhat, rvar):
+        return self.estim(rhat, rvar)
+
+    def init_moments(self):
+        return jnp.zeros(()), jnp.asarray(1e-2)
+
+
+_register(EllpDMMPrior, ("alpha",), ("p",))
+
+
+@dataclasses.dataclass(frozen=True)
+class SoftThreshDMMPrior:
+    """DMM-style soft threshold with AMP threshold tuning and optional
+    debiasing (``main/SoftThreshDMMEstimIn.m:42-68``): threshold
+    ``alpha·sqrt(mean(rvar))``; variance is ``rvar·mean(active)`` (the
+    empirical divergence, which is what gives AMP its Onsager term)."""
+
+    alpha: jnp.ndarray = 1.5
+    debias: bool = False
+
+    def estim(self, rhat, rvar):
+        thresh = self.alpha * jnp.sqrt(jnp.mean(rvar))
+        mag = jnp.abs(rhat)
+        shrunk = jnp.maximum(mag - thresh, 0.0)
+        xhat = jnp.where(
+            mag > 0, rhat / jnp.maximum(mag, 1e-30) * shrunk, jnp.zeros_like(rhat)
+        )
+        active = (shrunk > 0).astype(jnp.float32)
+        xvar = rvar * jnp.mean(active) * jnp.ones_like(mag)
+        if self.debias:
+            on = shrunk * active
+            scale = 1.0 + thresh * jnp.sum(on) / jnp.maximum(
+                jnp.sum(on**2), 1e-30
+            )
+            xhat = scale * xhat
+            xvar = scale * xvar
+        return xhat, jnp.maximum(xvar, 1e-30)
+
+    def estim_map(self, rhat, rvar):
+        return self.estim(rhat, rvar)
+
+    def init_moments(self):
+        return jnp.zeros(()), jnp.asarray(1e-2)
+
+
+_register(SoftThreshDMMPrior, ("alpha",), ("debias",))
+
+
+@dataclasses.dataclass(frozen=True)
+class FxnhandlePrior:
+    """Black-box (plug-and-play / D-AMP) denoiser prior
+    (``main/FxnhandleEstimIn.m:49-88``): wraps an arbitrary
+    ``denoise(rhat, rvar) -> xhat`` callable; the posterior variance is
+    ``rvar·div`` with the divergence estimated by Monte-Carlo directional
+    probing, clipped to [div_min, div_max].  The probe directions derive
+    from a fixed key (deterministic per instance — keeps the solver a pure
+    function of its inputs, which jit/scan require)."""
+
+    key: jnp.ndarray            # jax PRNG key (data leaf)
+    denoise: object = None      # static callable (rhat, rvar) -> xhat
+    change_factor: float = 1e-1
+    n_avg: int = 1
+    div_min: float = 0.0
+    div_max: float = 1.0 - 1e-5
+
+    def estim(self, rhat, rvar):
+        xhat = self.denoise(rhat, rvar)
+        eps_mach = jnp.finfo(jnp.float32).eps
+        epsilon = self.change_factor * jnp.minimum(
+            jnp.sqrt(jnp.mean(rvar)), jnp.mean(jnp.abs(rhat))
+        ) + eps_mach
+        divs = []
+        for i in range(self.n_avg):
+            eta = jnp.sign(
+                jax.random.normal(
+                    jax.random.fold_in(self.key, i), jnp.shape(rhat)
+                )
+            )
+            x_pert = self.denoise(rhat + epsilon * eta, rvar)
+            divs.append(jnp.mean(jnp.real(eta * (x_pert - xhat))) / epsilon)
+        div = jnp.clip(
+            sum(divs) / self.n_avg, self.div_min, self.div_max
+        )
+        return xhat, rvar * div * jnp.ones(jnp.shape(rhat))
+
+    def estim_map(self, rhat, rvar):
+        return self.estim(rhat, rvar)
+
+    def init_moments(self):
+        return jnp.zeros(()), jnp.ones(())
+
+
+_register(
+    FxnhandlePrior,
+    ("key",),
+    ("denoise", "change_factor", "n_avg", "div_min", "div_max"),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiSNIPEPrior:
+    """Multi-point SNIPE (``main/MultiSNIPEstim.m:42-66``): dirac masses at
+    ``thetas`` with gravities ``omegas`` plus an infinitely-broad slab; the
+    ``xvar_big`` option caps the slab variance for convergence control.
+    Generalizes :class:`SNIPEPrior` (which is the single-theta=0 case)."""
+
+    thetas: jnp.ndarray          # (L,)
+    omegas: jnp.ndarray          # (L,) or scalar
+    xvar_big: float = float("inf")
+
+    def estim(self, rhat, rvar):
+        rv = rvar[..., None] if jnp.ndim(rvar) else rvar
+        dterm = jnp.abs(rhat[..., None] - self.thetas) ** 2 / rv
+        eterm = jnp.exp(jnp.clip(self.omegas - dterm / 2.0, -_MAXARG, _MAXARG))
+        d0 = jnp.sum(eterm, -1) + 1.0
+        d1 = eterm @ self.thetas + rhat
+        d2 = eterm @ jnp.abs(self.thetas) ** 2 + jnp.abs(rhat) ** 2 + rvar
+        xhat = d1 / d0
+        xvar = d2 / d0 - jnp.abs(xhat) ** 2
+        if jnp.isfinite(self.xvar_big):
+            gain = 1.0 / (1.0 + rvar / self.xvar_big)
+            xhat = xhat * gain
+            xvar = xvar * gain
+        return xhat, jnp.maximum(jnp.real(xvar), 1e-30)
+
+    def val_neg_kl(self, rhat, rvar, xhat, xvar):
+        """``MultiSNIPEstim.m:66`` val output (log-scale + Gaussian-entropy
+        correction)."""
+        rv = rvar[..., None] if jnp.ndim(rvar) else rvar
+        dterm = jnp.abs(rhat[..., None] - self.thetas) ** 2 / rv
+        eterm = jnp.exp(jnp.clip(self.omegas - dterm / 2.0, -_MAXARG, _MAXARG))
+        d0 = jnp.sum(eterm, -1) + 1.0
+        return jnp.log(d0) + 0.5 * (
+            jnp.log(2 * jnp.pi * rvar)
+            + jnp.abs(xhat - rhat) ** 2 / rvar
+            + xvar / rvar
+        )
+
+    def init_moments(self):
+        return jnp.zeros(()), jnp.ones(())
+
+
+_register(MultiSNIPEPrior, ("thetas", "omegas"), ("xvar_big",))
+
+
+@dataclasses.dataclass(frozen=True)
+class L1Likelihood:
+    """Max-sum output estimator for the l1 penalty fout(z) = −scale·Σ|z|
+    (``main/L1EstimOut.m:57-86``) — analysis-sparsity / TV-style output
+    regularization.  ``estim`` is the soft-threshold prox; with
+    ``auto_scale`` the scale tracks 1/mean(|zhat|) for ``nit_scale``
+    inner rounds (the experimental autoScale feature)."""
+
+    scale: jnp.ndarray = 1.0
+    auto_scale: bool = False
+    scale_min: float = 1e-3
+    scale_max: float = 1e3
+    nit_scale: int = 5
+
+    def _prox(self, scale, phat, pvar):
+        sat = scale * pvar
+        mag = jnp.abs(phat)
+        shrunk = jnp.maximum(mag - sat, 0.0)
+        zhat = jnp.where(
+            mag > 0, phat / jnp.maximum(mag, 1e-30) * shrunk, jnp.zeros_like(phat)
+        )
+        return zhat, pvar * (shrunk > 0)
+
+    def estim(self, phat, pvar):
+        if not self.auto_scale:
+            return self._prox(self.scale, phat, pvar)
+        scale = jnp.asarray(self.scale, jnp.float32)
+        zhat, zvar = self._prox(scale, phat, pvar)
+        for _ in range(self.nit_scale):
+            scale = jnp.clip(
+                1.0 / jnp.maximum(jnp.mean(jnp.abs(zhat)), 1e-30),
+                self.scale_min,
+                self.scale_max,
+            )
+            zhat, zvar = self._prox(scale, phat, pvar)
+        return zhat, zvar
+
+    def estim_map(self, phat, pvar):
+        return self.estim(phat, pvar)
+
+    def loglike(self, phat, pvar):
+        return -self.scale * jnp.abs(phat)
+
+
+_register(
+    L1Likelihood,
+    ("scale",),
+    ("auto_scale", "scale_min", "scale_max", "nit_scale"),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class NLLikelihood:
+    """General nonlinear AWGN channel y = f(z) + N(0, wvar)
+    (``main/NLEstimOut.m:41-118``): posterior moments by Gauss-Hermite-style
+    quadrature over z ~ N(phat, pvar).  The reference loops over
+    measurements; here the n_z-point grid is broadcast over all
+    measurements at once (one (m, n_z) elementwise block — the TPU-friendly
+    form)."""
+
+    y: jnp.ndarray
+    wvar: jnp.ndarray = 1e-2
+    out_fn: object = None       # static callable z -> f(z), elementwise
+    n_z: int = 100
+
+    def _grid(self, phat, pvar):
+        umax = jnp.sqrt(2.0 * jnp.log(self.n_z / 2.0))
+        u = jnp.linspace(-umax, umax, self.n_z)
+        z = phat[..., None] + jnp.sqrt(pvar)[..., None] * u
+        logpyu = -((self.y[..., None] - self.out_fn(z)) ** 2) / (2.0 * self.wvar)
+        return u, logpyu
+
+    def estim(self, phat, pvar):
+        u, logpyu = self._grid(phat, pvar)
+        logpuy = logpyu - u**2 / 2.0
+        logpuy = logpuy - jax.scipy.special.logsumexp(logpuy, -1, keepdims=True)
+        puy = jnp.exp(logpuy)
+        umean = puy @ u
+        uvar = jnp.sum(puy * (u - umean[..., None]) ** 2, -1)
+        return (
+            phat + jnp.sqrt(pvar) * umean,
+            jnp.maximum(pvar * uvar, 1e-30),
+        )
+
+    def loglike(self, zhat, zvar):
+        u, logpyu = self._grid(zhat, zvar)
+        pu = jnp.exp(-(u**2) / 2.0)
+        pu = pu / jnp.sum(pu)
+        return logpyu @ pu
+
+
+_register(NLLikelihood, ("y", "wvar"), ("out_fn", "n_z"))
