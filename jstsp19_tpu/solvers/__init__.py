@@ -64,11 +64,31 @@ from jstsp19_tpu.solvers.bigamp import (  # noqa: F401
     em_bigamp_mc,
     em_bigamp_dl,
 )
-from jstsp19_tpu.solvers.pbigamp import pbigamp  # noqa: F401
+from jstsp19_tpu.solvers.bigamp_full import (  # noqa: F401
+    BigAmpOptions,
+    bigamp_pev,
+    bigamp_lite,
+)
+from jstsp19_tpu.solvers.pbigamp import pbigamp, em_pbigamp  # noqa: F401
+from jstsp19_tpu.solvers.gamp_se import (  # noqa: F401
+    EstimInAvg,
+    AwgnOutAvg,
+    MCOutAvg,
+    estim_in_avg,
+    gamp_se,
+    bg_sampler,
+)
 from jstsp19_tpu.solvers.hutamp import hutamp  # noqa: F401
 from jstsp19_tpu.solvers.em import em_bg_vamp, em_gm_vamp, em_nngm_gamp  # noqa: F401
 from jstsp19_tpu.solvers.turbo import (  # noqa: F401
     turbo_markov_vamp,
     turbo_gauss_markov_vamp,
     turbo_mrf_vamp,
+)
+from jstsp19_tpu.solvers.turbo_em import (  # noqa: F401
+    em_turbo_markov_vamp,
+    em_turbo_gauss_markov_vamp,
+    turbo_mrf3d_vamp,
+    turbo_mrf_arb_vamp,
+    markov_fb,
 )

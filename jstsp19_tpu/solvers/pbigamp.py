@@ -31,6 +31,13 @@ class PBigAmpResult(NamedTuple):
     b: jnp.ndarray
     c: jnp.ndarray
     z: jnp.ndarray
+    # final input-stage pseudo-data (Rb ≈ b + CN(0, rvar_b) etc.) — the
+    # sufficient statistics the EM wrapper (EMPBiGAMP.m) consumes
+    Rb: jnp.ndarray = None
+    rvar_b: jnp.ndarray = None
+    Rc: jnp.ndarray = None
+    rvar_c: jnp.ndarray = None
+    zvar: jnp.ndarray = None
 
 
 @functools.partial(jax.jit, static_argnames=("nit",))
@@ -90,7 +97,7 @@ def pbigamp(
     nv = jnp.asarray(noise_var, rdt)
 
     def body(carry, _):
-        bhat, vb, chat, vc, shat = carry
+        bhat, vb, chat, vc, shat = carry[:5]
         # forward derivatives of z_m in b and c
         za = jnp.einsum("mij,j->mi", A, chat)  # ∂z_m/∂b_i
         zc = jnp.einsum("mij,i->mj", A, bhat)  # ∂z_m/∂c_j
@@ -145,10 +152,93 @@ def pbigamp(
         cn = step * cn + (1 - step) * chat
         vb_n = step * jnp.maximum(jnp.mean(vbn), var_floor) + (1 - step) * vb
         vc_n = step * jnp.maximum(jnp.mean(vcn), var_floor) + (1 - step) * vc
-        return (bn, vb_n, cn, vc_n, shat_new), None
+        return (bn, vb_n, cn, vc_n, shat_new, rb, rvar_b, rc, rvar_c, vz), None
 
-    (bhat, vb, chat, vc, shat), _ = jax.lax.scan(
-        body, (bhat, vb, chat, vc, shat), None, length=nit
+    zvar0 = jnp.zeros((M,), rdt)
+    (bhat, vb, chat, vc, shat, Rb, rvar_b, Rc, rvar_c, zvar), _ = jax.lax.scan(
+        body,
+        (
+            bhat,
+            vb,
+            chat,
+            vc,
+            shat,
+            bhat,
+            jnp.ones((Nb,), rdt),
+            chat,
+            jnp.ones((Nc,), rdt),
+            zvar0,
+        ),
+        None,
+        length=nit,
     )
     z = jnp.einsum("mij,i,j->m", A, bhat, chat)
-    return PBigAmpResult(b=bhat, c=chat, z=z)
+    return PBigAmpResult(
+        b=bhat, c=chat, z=z, Rb=Rb, rvar_b=rvar_b, Rc=Rc, rvar_c=rvar_c,
+        zvar=zvar,
+    )
+
+
+class EmPBigAmpResult(NamedTuple):
+    b: jnp.ndarray
+    c: jnp.ndarray
+    z: jnp.ndarray
+    noise_var: jnp.ndarray
+    prior_c: object
+
+
+def em_pbigamp(
+    y,
+    A,
+    key,
+    n_em: int = 8,
+    nit: int = 100,
+    step: float = 0.5,
+    prior_b=None,
+    b_mean: complex = 1.0,
+    b_var: float = 0.1,
+) -> EmPBigAmpResult:
+    """EM-P-BiG-AMP (``PBiGAMP/EMPBiGAMP.m``): learns the AWGN noise
+    variance, the sparse-c prior's activity/slab variance, and the b
+    prior's variance around the P-BiG-AMP inner solver.
+
+    Defaults match the reference's calibration setup: b ~ CN(b_mean, b_var)
+    (e.g. unity-gain sensors) and c Bernoulli-Gaussian with EM-learned
+    hyperparameters; the initial noise variance follows the 100:1 SNR rule
+    of ``EMPBiGAMP.m:119-126``.
+    """
+    from jstsp19_tpu.solvers.em import _bernoulli_gauss_em_update
+    from jstsp19_tpu.solvers.estim import CAwgnPrior, SparsePrior
+
+    M = y.shape[0]
+    Nc = A.shape[2]
+    nv = jnp.sum(jnp.abs(y) ** 2) / (M * 101.0)
+    if prior_b is None:
+        prior_b = CAwgnPrior(jnp.asarray(b_mean), jnp.asarray(b_var))
+    rho0 = 0.1
+    prior_c = SparsePrior(
+        CAwgnPrior(jnp.asarray(0.0 + 0j), jnp.mean(jnp.abs(y) ** 2)), rho0
+    )
+    res = None
+    for i in range(n_em):
+        res = pbigamp(
+            y,
+            A,
+            prior_b,
+            prior_c,
+            nv,
+            jax.random.fold_in(key, i),
+            nit=nit,
+            step=step,
+            init_b=None if res is None else res.b,
+            init_c=None if res is None else res.c,
+        )
+        # EM noise update (EMPBiGAMP noise_var learning): residual + zvar
+        nv = jnp.maximum(
+            jnp.mean(jnp.abs(y - res.z) ** 2) + jnp.mean(res.zvar), 1e-12
+        )
+        # EM of the sparse-c prior from the final pseudo-data
+        prior_c = _bernoulli_gauss_em_update(prior_c, res.Rc, res.rvar_c)
+    return EmPBigAmpResult(
+        b=res.b, c=res.c, z=res.z, noise_var=nv, prior_c=prior_c
+    )

@@ -78,3 +78,41 @@ def test_pbigamp_rank_one_projections():
         jnp.sum(jnp.abs(G_est - G_true) ** 2) / jnp.sum(jnp.abs(G_true) ** 2)
     )
     assert g_nmse < 0.05, g_nmse
+
+
+def test_em_pbigamp_calibration_learns_hyperparams():
+    """EM-P-BiG-AMP (``PBiGAMP/EMPBiGAMP.m``): on the self-calibration
+    testbed the EM wrapper must recover z, the AWGN noise variance, and the
+    sparse-c activity rate without being told any of them."""
+    import numpy as np
+    from jstsp19_tpu.solvers.pbigamp import em_pbigamp
+
+    rng = np.random.default_rng(0)
+    M, Nb, Nc, k = 300, 8, 64, 6
+    A = (
+        rng.standard_normal((M, Nb, Nc)) + 1j * rng.standard_normal((M, Nb, Nc))
+    ) / np.sqrt(2 * Nb * Nc)
+    b0 = 1.0 + 0.2 * (rng.standard_normal(Nb) + 1j * rng.standard_normal(Nb)) / np.sqrt(2)
+    c0 = np.zeros(Nc, complex)
+    c0[rng.choice(Nc, k, False)] = (
+        rng.standard_normal(k) + 1j * rng.standard_normal(k)
+    ) / np.sqrt(2)
+    z0 = np.einsum("mij,i,j->m", A, b0, c0)
+    wvar = 1e-4 * np.mean(np.abs(z0) ** 2)
+    y = z0 + np.sqrt(wvar / 2) * (
+        rng.standard_normal(M) + 1j * rng.standard_normal(M)
+    )
+    res = em_pbigamp(
+        jnp.asarray(y, jnp.complex64),
+        jnp.asarray(A, jnp.complex64),
+        jax.random.PRNGKey(0),
+        n_em=6,
+        nit=120,
+    )
+    znm = 10 * np.log10(
+        float(np.sum(np.abs(np.asarray(res.z) - z0) ** 2) / np.sum(np.abs(z0) ** 2))
+    )
+    assert znm < -40.0
+    assert 0.3 * wvar < float(res.noise_var) < 3.0 * wvar
+    p1 = float(jnp.mean(jnp.asarray(res.prior_c.p1)))
+    assert abs(p1 - k / Nc) < 0.05
