@@ -511,7 +511,10 @@ def time_comparisons(n_mc=4, seed=0, mesh=None, reps=3, **kw):
             run_point(pc, _nv(0), n_mc, seed=seed, mesh=mesh)
             best = min(best, time.time() - t1)
         curves[method] = [best / n_mc]
-    return SweepResult(
+    res = SweepResult(
         "time_comparisons", "seconds_per_realization", [0], curves, n_mc,
         time.time() - t0,
     )
+    res.extras["backend"] = jax.default_backend()
+    res.extras["device_kind"] = jax.devices()[0].device_kind
+    return res
