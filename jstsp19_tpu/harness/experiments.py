@@ -314,15 +314,29 @@ def error_vs_admmiters(n_mc=4, seed=0, mesh=None, Imax=100, snr_db=15, **kw):
 
 
 @_register("capacity")
-def capacity(n_mc=64, seed=0, mesh=None, snr_db=15, sizes=((16, 32, 32),), **kw):
+def capacity(
+    n_mc=64, seed=0, mesh=None, snr_db=15,
+    sizes=((16, 32, 32), (16, 64, 32), (16, 128, 64)), **kw
+):
     """``plot_capacity.m``: ASE vs Mr for digital / PS-HBF / ZC-HBF /
-    proposed front ends (noiseless observation, T=5), per array geometry."""
+    proposed front ends (noiseless observation, T=5) at all three reference
+    array geometries (Nt, Nr, Mr_e) = (16,32,32) / (16,64,32) / (16,128,64)
+    (``plot_capacity.m:8-20,92-104,175-187``; reference MC count is 1e4).
+
+    Mr enters only through which combiner columns are *kept*, and a zeroed
+    column of W contributes an identity block to the log-det, so the sweep
+    uses one compiled executable per geometry with a traced column mask
+    (no per-Mr recompiles — the sweep axis rides the accelerator batch).
+    """
     t0 = time.time()
     curves: Dict[str, list] = {}
     nv = _nv(snr_db)
     Mr_values = list(range(1, 32, 3))
+    Mmax = max(Mr_values)
 
-    def realization(key, Mr, Nt, Nr, Mr_e):
+    def realization(key, mr, Nt, Nr, Mr_e):
+        # mr is TRACED: keep the first mr columns by masking (identical
+        # capacity to slicing because zero columns add identity blocks)
         L, T = 4, 5
         ch = wideband_mmwave_channel(
             prng.role_key(key, prng.ROLE_CHANNEL), L, Nr, Nt, 2, 3, Nr, Nt
@@ -333,24 +347,27 @@ def capacity(n_mc=64, seed=0, mesh=None, snr_db=15, sizes=((16, 32, 32),), **kw)
         W_q = create_beamformer(Nr, "quantized")
         _, Wc_d = hbf(ch.H, Z, Psi, Nr, W_zc)
         Y = jnp.einsum("lmn,lnt->mt", ch.H, Psi)  # noiseless frame
+        mask = (jnp.arange(Mmax) < mr).astype(W_q.real.dtype)
         c_dbf = spectral_efficiency(Y, Wc_d, nv, Nt)
-        c_ps = spectral_efficiency(Y, W_q[:, :Mr], nv, Nt)
-        c_zc = spectral_efficiency(Y, W_zc[:, :Mr], nv, Nt)
+        c_ps = spectral_efficiency(Y, W_q[:, :Mmax] * mask, nv, Nt)
+        c_zc = spectral_efficiency(Y, W_zc[:, :Mmax] * mask, nv, Nt)
         # proposed: random Mr-subset of the wide combiner (plot_capacity.m:63-64)
         perm = jax.random.permutation(prng.role_key(key, prng.ROLE_MASK), Mr_e)
-        Wp = W_q[:, perm[:Mr]]
-        c_prop = spectral_efficiency(Y, Wp, nv, Nt)
+        Wp = W_q[:, perm[:Mmax]]
+        c_prop = spectral_efficiency(Y, Wp * mask, nv, Nt)
         return c_dbf, c_ps, c_zc, c_prop
 
     for (Nt, Nr, Mr_e) in sizes:
         run = jax.jit(
             jax.vmap(realization, in_axes=(0, None, None, None, None)),
-            static_argnums=(1, 2, 3, 4),
+            static_argnums=(2, 3, 4),
         )
         tag = f"Nr{Nr}"
         for i, Mr in enumerate(Mr_values):
             keys = prng.realization_keys(prng.experiment_key(seed), i, n_mc)
-            c_dbf, c_ps, c_zc, c_prop = run(keys, Mr, Nt, Nr, Mr_e)
+            c_dbf, c_ps, c_zc, c_prop = run(
+                keys, jnp.asarray(Mr, jnp.int32), Nt, Nr, Mr_e
+            )
             curves.setdefault(f"dbf_{tag}", []).append(float(np.mean(c_dbf)))
             curves.setdefault(f"hbf_ps_{tag}", []).append(float(np.mean(c_ps)))
             curves.setdefault(f"hbf_zc_{tag}", []).append(float(np.mean(c_zc)))

@@ -679,9 +679,12 @@ _register(EllpPrior, ("lam", "p"))
 
 @dataclasses.dataclass(frozen=True)
 class DiscretePrior:
-    """Finite-alphabet prior x ∈ {a_k} w.p. w_k (``main/DisScaEstim.m``) —
-    e.g. a QAM constellation.  Posterior is the softmax over atoms; works
-    for real or complex alphabets."""
+    """Finite-alphabet prior x ∈ {a_k} w.p. w_k — e.g. a QAM constellation.
+    Posterior is the softmax over atoms.  Covers both of the reference's
+    discrete scalar estimators in one class: the real ``main/DisScaEstim.m``
+    (N(0,rvar) branch) and the complex ``main/DisCScaEstim.m:29-52``
+    (CN(0,rvar) branch, selected when the alphabet or pseudo-data is
+    complex)."""
 
     atoms: jnp.ndarray  # (K,)
     weights: jnp.ndarray  # (K,)
