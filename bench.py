@@ -49,16 +49,39 @@ def main():
     # are all in the persistent cache, so cold-compile risk on a degraded
     # relay only applies to novel batch sizes.
     batch = int(args[0]) if args else 256
+    svt_method = "tracked"
+    for a in sys.argv[1:]:
+        if a.startswith("--svt-method"):
+            svt_method = a.split("=", 1)[1] if "=" in a else sys.argv[
+                sys.argv.index(a) + 1
+            ]
     # 'tracked' SVT (warm-started spectral tracking, solvers/admm.py) is
     # NMSE-identical to 'eigh' across the SNR curve and 2.2x faster on
     # chip (1150 vs 527 est/s at batch 256 — the batched eigh inside the
-    # scan was ~70% of the runtime).
-    pc = PointConfig(methods=("proposed",), svt_method="tracked")
+    # scan was ~70% of the runtime).  'pallas' fuses the whole tracked
+    # solve into one VMEM-resident kernel (kernels/admm_fused.py).
     noise_var = jnp.asarray(1.0, jnp.float32)  # SNR 0 dB
 
-    @jax.jit
-    def run(keys, nv):
-        return jax.vmap(lambda k: realization_errors(k, pc, nv))(keys)["proposed"]
+    if svt_method == "pallas":
+        from jstsp19_tpu.harness.pipeline import fused_point_errors
+
+        pc = PointConfig(methods=("proposed",), svt_method="tracked")
+        interp = jax.default_backend() != "tpu"
+
+        @jax.jit
+        def run(keys, nv):
+            return fused_point_errors(keys, pc, nv, interpret=interp)[
+                "proposed"
+            ]
+
+    else:
+        pc = PointConfig(methods=("proposed",), svt_method=svt_method)
+
+        @jax.jit
+        def run(keys, nv):
+            return jax.vmap(lambda k: realization_errors(k, pc, nv))(keys)[
+                "proposed"
+            ]
 
     keys = prng.realization_keys(prng.experiment_key(0), 0, batch)
 

@@ -10,6 +10,7 @@ baselines → proposed HBF + ADMM → clamped NMSE), e.g.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -158,6 +159,11 @@ def realization_errors(
         A_p, B_p = _dictionaries(ch, obs.W_e, Psi)
         tau_Y, tau_S, rho = admm_hyperparams(obs.Y, ch.Zbar)
         rho = rho * pc.rho_scale
+        if pc.svt_method == "pallas":
+            raise ValueError(
+                "svt_method='pallas' runs batch-level; use "
+                "harness.pipeline.fused_point_errors / run_point"
+            )
         if "proposed" in pc.methods:
             res = proposed_admm(
                 obs.Y, obs.Omega, A_p, B_p, pc.Imax, tau_Y, tau_S, rho,
@@ -188,4 +194,75 @@ def realization_errors(
             )
             out["proposed_angles"] = clamped_nmse(res_a.S, ch.Zbar)
 
+    return out
+
+
+def proposed_problem(key, pc: PointConfig, noise_var, H_ext=None):
+    """Frontend of the proposed-HBF branch for one realization: channel →
+    training → random-spatial-sampling observation → dictionaries →
+    driver hyper-parameters (``plot_errorVSsnr.m:48-146``).  Returns the
+    batched-solver problem tuple consumed by the fused Pallas ADMM
+    (``kernels/admm_fused.py``)."""
+    k_ch, k_tr, k_n, k_mask, k_bf = (
+        prng.role_key(key, prng.ROLE_CHANNEL),
+        prng.role_key(key, prng.ROLE_TRAINING),
+        prng.role_key(key, prng.ROLE_NOISE),
+        prng.role_key(key, prng.ROLE_MASK),
+        prng.role_key(key, prng.ROLE_BEAMFORMER),
+    )
+    if H_ext is not None:
+        ch = channel_from_taps(H_ext, pc.Gr, pc.Gt)
+    else:
+        ch = wideband_mmwave_channel(
+            k_ch, pc.L, pc.Nr, pc.Nt, pc.n_clusters, pc.n_rays, pc.Gr, pc.Gt,
+            quirks=pc.channel_quirks,
+        )
+    Psi = qam4_training_frames(k_tr, pc.Nt, pc.T_prop, pc.L)
+    N = awgn(k_n, pc.Nr, pc.T_prop, noise_var)
+    W = create_beamformer(pc.Nr, pc.beamformer, key=k_bf)
+    obs = proposed_hbf(k_mask, ch.H, N, Psi, pc.Mr_e, pc.Mr, W)
+    A_p, B_p = _dictionaries(ch, obs.W_e, Psi)
+    tau_Y, tau_S, rho = admm_hyperparams(obs.Y, ch.Zbar)
+    rho = rho * pc.rho_scale
+    # Algorithm-3 oracle support order (rank of each |Zbar| entry,
+    # descending — plot_errorVSsnr.m:143)
+    total = pc.Gr * pc.L * pc.Gt
+    indx = jnp.argsort(-jnp.abs(ch.Zbar).reshape(-1))
+    rank = (
+        jnp.zeros((total,), jnp.int32)
+        .at[indx]
+        .set(jnp.arange(total, dtype=jnp.int32))
+        .reshape(ch.Zbar.shape)
+    )
+    return dict(
+        subY=obs.Y, Omega=obs.Omega, A=A_p, B=B_p,
+        tau_Y=tau_Y, tau_S=tau_S, rho=rho, Zbar=ch.Zbar, rank=rank,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("pc", "interpret"))
+def fused_point_errors(keys, pc: PointConfig, noise_var, interpret=False):
+    """Batch-level proposed/proposed_angles evaluation on the fused Pallas
+    ADMM kernel: the whole tracked-SVT solve runs VMEM-resident, one
+    realization per grid step (``kernels/admm_fused.py``).  Numerically
+    matches ``svt_method='tracked'``."""
+    from jstsp19_tpu.kernels.admm_fused import fused_tracked_admm
+
+    prob = jax.vmap(lambda k: proposed_problem(k, pc, noise_var))(keys)
+    out = {}
+    if "proposed" in pc.methods:
+        S, _ = fused_tracked_admm(
+            prob["subY"], prob["Omega"], prob["A"], prob["B"],
+            prob["tau_Y"], prob["tau_S"], prob["rho"],
+            Imax=pc.Imax, track_rounds=pc.track_rounds, interpret=interpret,
+        )
+        out["proposed"] = jax.vmap(clamped_nmse)(S, prob["Zbar"])
+    if "proposed_angles" in pc.methods:
+        S_a, _ = fused_tracked_admm(
+            prob["subY"], prob["Omega"], prob["A"], prob["B"],
+            prob["tau_Y"], prob["tau_S"], prob["rho"],
+            Imax=pc.Imax, track_rounds=pc.track_rounds,
+            support_rank=prob["rank"], interpret=interpret,
+        )
+        out["proposed_angles"] = jax.vmap(clamped_nmse)(S_a, prob["Zbar"])
     return out

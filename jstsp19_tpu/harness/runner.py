@@ -109,6 +109,33 @@ def run_point(
         keys = jax.device_put(keys, sh)
         if taps is not None:
             taps = jax.device_put(taps, NamedSharding(mesh, P(mesh.axis_names[0])))
+    if pc.svt_method == "pallas" and taps is None:
+        # Batch-level fused Pallas path for the proposed estimators (the
+        # whole tracked-SVT ADMM solve runs VMEM-resident per realization,
+        # kernels/admm_fused.py); remaining methods fall back to the
+        # per-realization XLA pipeline with the numerically identical
+        # 'tracked' SVT.
+        from jstsp19_tpu.harness.pipeline import fused_point_errors
+
+        fused = {"proposed", "proposed_angles"} & set(pc.methods)
+        out = {}
+        if fused:
+            pcf = dataclasses.replace(pc, methods=tuple(sorted(fused)))
+            out.update(
+                fused_point_errors(
+                    keys, pcf, jnp.asarray(noise_var, jnp.float32),
+                    # Mosaic compiles on TPU only; elsewhere (CPU test
+                    # meshes) the kernel runs in the Pallas interpreter
+                    interpret=jax.default_backend() != "tpu",
+                )
+            )
+        rest = tuple(m for m in pc.methods if m not in fused)
+        if rest:
+            pcr = dataclasses.replace(pc, methods=rest, svt_method="tracked")
+            out.update(
+                _compiled_point(pcr)(keys, jnp.asarray(noise_var, jnp.float32))
+            )
+        return {k: np.asarray(v) for k, v in out.items()}
     if taps is not None:
         if taps.shape[0] != n_mc:
             raise ValueError(f"taps batch {taps.shape[0]} != n_mc {n_mc}")

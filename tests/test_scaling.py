@@ -10,5 +10,8 @@ def test_scaling_benchmark_runs_on_virtual_mesh():
         pc, per_device_batch=2, device_counts=[1, 2], reps=1
     )
     assert len(res["throughput"]) == 2
-    assert res["efficiency"][0] == 1.0
     assert all(t > 0 for t in res["throughput"])
+    # on the virtual CPU mesh no efficiency figure is reported (the
+    # devices share one host's cores) — a mechanism note replaces it
+    assert "efficiency" not in res
+    assert "note" in res
