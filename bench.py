@@ -44,10 +44,10 @@ REF_PROPOSED_NMSE_0DB = 0.12998  # errorVSsnr_angles.fig, Proposed @ 0 dB
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     profile = "--profile" in sys.argv
-    # batch 256 ≈ the single-chip throughput knee (32→123, 64→238, 128→462,
-    # 256→528, 512→566 est/s measured); executables for 32/64/128/256/512
-    # are all in the persistent cache, so cold-compile risk on a degraded
-    # relay only applies to novel batch sizes.
+    # batch 256 ≈ the single-chip throughput knee (tracked tr1: 2652 @ 256,
+    # 1962 @ 512, 1580 @ 1024 est/s — results/tracked_rounds_tpu.json);
+    # executables for the defaults are in the persistent cache, so
+    # cold-compile risk on a degraded relay only applies to novel configs.
     batch = int(args[0]) if args else 256
     svt_method = "tracked"
     for a in sys.argv[1:]:
@@ -56,10 +56,13 @@ def main():
                 sys.argv.index(a) + 1
             ]
     # 'tracked' SVT (warm-started spectral tracking, solvers/admm.py) is
-    # NMSE-identical to 'eigh' across the SNR curve and 2.2x faster on
-    # chip (1150 vs 527 est/s at batch 256 — the batched eigh inside the
-    # scan was ~70% of the runtime).  'pallas' fuses the whole tracked
-    # solve into one VMEM-resident kernel (kernels/admm_fused.py).
+    # NMSE-identical to 'eigh' across the SNR curve and 5x faster on chip
+    # (2652 vs 528 est/s at batch 256): the batched eigh inside the scan
+    # was ~70% of the eigh-path runtime, and one warm-started rotation
+    # round per iteration (track_rounds=1) suffices to keep the basis
+    # converged (per-realization NMSE diff <= 8e-6 vs eigh — PERF.md).
+    # 'pallas' fuses the whole tracked solve into one VMEM-resident
+    # kernel (kernels/admm_fused.py; 2494 est/s at batch 512).
     noise_var = jnp.asarray(1.0, jnp.float32)  # SNR 0 dB
 
     if svt_method == "pallas":

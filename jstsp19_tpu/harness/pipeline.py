@@ -60,7 +60,7 @@ class PointConfig:
     methods: Tuple[str, ...] = ("ls", "vamp", "omp_mmv", "proposed", "proposed_angles")
     admm_mode: str = "approximate"
     svt_method: str = "eigh"  # 'jacobi' = eigh-free inner loop (ops/jacobi.py)
-    track_rounds: int = 8  # Jacobi refresh rounds/iter for svt_method='tracked''
+    track_rounds: int = 1  # Jacobi refresh rounds/iter for svt_method='tracked' (1 = eigh-identical here, PERF.md)
     vamp_nit: int = 100
     vamp_true_noise: bool = False  # reference passes sigma=1 (plot_errorVSsnr.m:100)
     # Run VAMP on the reference's normal-equations form y=vec(Y·Bᴴ),

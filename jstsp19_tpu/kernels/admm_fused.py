@@ -282,7 +282,7 @@ def fused_tracked_admm(
     rho: jnp.ndarray,        # (B,)
     Imax: int = 100,
     support_rank: Optional[jnp.ndarray] = None,   # (B, Gr, K) int32
-    track_rounds: int = 8,
+    track_rounds: int = 1,
     support_base: int = 10,
     support_step: int = 5,
     interpret: bool = False,

@@ -161,3 +161,29 @@ def test_tracked_svt_matches_eigh_end_to_end(key):
         out = jax.vmap(lambda k: realization_errors(k, pc, nv))(keys)
         res[m_] = np.asarray(out["proposed"])
     np.testing.assert_allclose(res["tracked"], res["eigh"], atol=5e-3)
+
+
+def test_tracked_svt_single_round_matches_eigh():
+    """track_rounds=1 — the throughput setting (PERF.md) — must stay
+    per-realization-identical to eigh-SVT: the warm-started basis needs
+    only one parallel-ordering rotation round per ADMM iteration at the
+    canonical config (measured <= 8e-6 across SNR/quirks/angles)."""
+    from jstsp19_tpu.harness.pipeline import PointConfig, realization_errors
+    from jstsp19_tpu.core import prng as _prng
+
+    keys = _prng.realization_keys(_prng.experiment_key(0), 0, 4)
+    for snr_db in (-9.0, 9.0):
+        nv = jnp.asarray(10 ** (-snr_db / 10), jnp.float32)
+        res = {}
+        for m_, tr in (("eigh", 8), ("tracked", 1)):
+            pc = PointConfig(
+                methods=("proposed", "proposed_angles"),
+                svt_method=m_, track_rounds=tr,
+            )
+            res[m_] = jax.vmap(lambda k: realization_errors(k, pc, nv))(keys)
+        for meth in ("proposed", "proposed_angles"):
+            np.testing.assert_allclose(
+                np.asarray(res["tracked"][meth]),
+                np.asarray(res["eigh"][meth]),
+                atol=1e-4,
+            )

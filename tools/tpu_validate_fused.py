@@ -10,6 +10,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
+
 import jax
 
 os.makedirs("/root/repo/.jax_cache", exist_ok=True)
