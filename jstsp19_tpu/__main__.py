@@ -4,6 +4,9 @@ Usage:
   python -m jstsp19_tpu list
   python -m jstsp19_tpu run error_vs_snr --n-mc 64 --seed 0 --out results
   python -m jstsp19_tpu run all --n-mc 16
+  python -m jstsp19_tpu demo            # list the worked demos
+  python -m jstsp19_tpu demo snipe      # run one (the GUI/ analog:
+                                        # an interactive demo launcher)
 """
 from __future__ import annotations
 
@@ -15,6 +18,14 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="jstsp19_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
     sub.add_parser("list", help="list experiment recipes")
+    demop = sub.add_parser(
+        "demo",
+        help="list / run the worked solver demos (examples/) — the "
+        "capability analog of the reference's GUI demo launcher",
+    )
+    demop.add_argument("name", nargs="?", default=None)
+    demop.add_argument("--tpu", action="store_true",
+                       help="run on the TPU backend (default: CPU)")
     runp = sub.add_parser("run", help="run an experiment recipe")
     runp.add_argument("experiment")
     runp.add_argument("--n-mc", type=int, default=8)
@@ -48,6 +59,37 @@ def main(argv=None):
             print(f"{name:28s} {doc}")
         return 0
 
+    if args.cmd == "demo":
+        # GUI-analog demo launcher (reference `GUI/` capability: browse and
+        # launch per-solver demos). Demos live in examples/ as standalone
+        # scripts; each takes --cpu.
+        import os
+        import subprocess
+
+        ex_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples",
+        )
+        demos = sorted(
+            f[:-3] for f in os.listdir(ex_dir)
+            if f.endswith(".py") and not f.startswith("_")
+        )
+        if args.name is None:
+            print("worked demos (run: python -m jstsp19_tpu demo <name>):")
+            for d in demos:
+                with open(os.path.join(ex_dir, f"{d}.py")) as fh:
+                    first = fh.readline().strip().strip('"').rstrip(".")
+                print(f"  {d:26s} {first}")
+            return 0
+        if args.name not in demos:
+            print(f"unknown demo {args.name!r}; run `demo` to list",
+                  file=sys.stderr)
+            return 1
+        cmd = [sys.executable, os.path.join(ex_dir, f"{args.name}.py")]
+        if not args.tpu:
+            cmd.append("--cpu")
+        return subprocess.run(cmd).returncode
+
     if getattr(args, "cpu", False):
         import jax
 
@@ -78,4 +120,7 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except BrokenPipeError:  # e.g. `... list | head`
+        sys.exit(0)
