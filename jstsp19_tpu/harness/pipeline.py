@@ -61,6 +61,7 @@ class PointConfig:
     admm_mode: str = "approximate"
     svt_method: str = "eigh"  # 'jacobi' = eigh-free inner loop (ops/jacobi.py)
     track_rounds: int = 1  # Jacobi refresh rounds/iter for svt_method='tracked' (1 = eigh-identical here, PERF.md)
+    track_precision: str = "highest"  # matmul precision of the tracked eigenbasis chain
     vamp_nit: int = 100
     vamp_true_noise: bool = False  # reference passes sigma=1 (plot_errorVSsnr.m:100)
     # Run VAMP on the reference's normal-equations form y=vec(Y·Bᴴ),
@@ -169,6 +170,7 @@ def realization_errors(
                 obs.Y, obs.Omega, A_p, B_p, pc.Imax, tau_Y, tau_S, rho,
                 mode=pc.admm_mode, svt_method=pc.svt_method,
                 track_rounds=pc.track_rounds,
+                track_precision=pc.track_precision,
             )
             out["proposed"] = clamped_nmse(res.S, ch.Zbar)
         if "svt" in pc.methods or "tssr" in pc.methods:
@@ -191,6 +193,7 @@ def realization_errors(
                 obs.Y, obs.Omega, indx, A_p, B_p, pc.Imax, tau_Y, tau_S, rho,
                 mode=pc.admm_mode, svt_method=pc.svt_method,
                 track_rounds=pc.track_rounds,
+                track_precision=pc.track_precision,
             )
             out["proposed_angles"] = clamped_nmse(res_a.S, ch.Zbar)
 

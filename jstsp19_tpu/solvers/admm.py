@@ -78,7 +78,7 @@ def admm_hyperparams(Y_obs: jnp.ndarray, Zbar_ref: jnp.ndarray, top_k: int = 6):
     jax.jit,
     static_argnames=(
         "Imax", "mode", "track_convergence", "conv_norm", "svt_method",
-        "track_rounds",
+        "track_rounds", "track_precision",
     ),
 )
 def proposed_admm(
@@ -101,6 +101,10 @@ def proposed_admm(
     # one warm-started parallel-ordering round/iter is NMSE-identical to
     # eigh at the canonical config and 2.3x faster on-chip (PERF.md)
     track_rounds: int = 1,
+    # matmul precision of the tracked eigenbasis chain: "highest" (6-pass
+    # bf16 = exact f32) or "high" (3-pass, ~2x faster on the MXU; rel err
+    # ~5e-7/op).  Single-pass "default" destroys the basis (PERF.md).
+    track_precision: str = "highest",
 ) -> AdmmResult:
     """Joint matrix-completion + beamspace-sparse ADMM.
 
@@ -222,9 +226,9 @@ def proposed_admm(
             return T, U
 
         def _tracked_svt(W, tau, U, i):
-            # full-f32 matmuls: the TPU's default bf16 passes accumulate
-            # across the long rotation chain and destroy the basis
-            with jax.default_matmul_precision("highest"):
+            # elevated-precision matmuls: the TPU's single-pass bf16 default
+            # accumulates across the rotation chain and destroys the basis
+            with jax.default_matmul_precision(track_precision):
                 Wc = jnp.where(
                     jnp.isfinite(W.real) & jnp.isfinite(W.imag), W, 0.0
                 )
