@@ -39,6 +39,31 @@ def _round_robin_schedule(n: int) -> np.ndarray:
     return np.asarray(rounds, dtype=np.int32)  # (n-1, 2, n/2)
 
 
+@functools.lru_cache(maxsize=None)
+def _schedule_gather_tables(n: int):
+    """Gather tables for applying one parallel-ordering round as elementwise
+    row/column combinations instead of a dense G matmul (the round matrix
+    has exactly two nonzeros per row/column).
+
+    Returns (partner, slot, is_p), each (n-1, n):
+      partner[r, i] — the index paired with i in round r;
+      slot[r, i]    — the pair slot of i (index into the round's (n/2,)
+                      rotation-coefficient vectors);
+      is_p[r, i]    — True where i is the smaller ("p") member of its pair.
+    """
+    sched = _round_robin_schedule(n)  # (n-1, 2, n/2)
+    partner = np.empty((n - 1, n), np.int32)
+    slot = np.empty((n - 1, n), np.int32)
+    is_p = np.zeros((n - 1, n), bool)
+    for r in range(n - 1):
+        for k in range(n // 2):
+            p, q = sched[r, 0, k], sched[r, 1, k]
+            partner[r, p], partner[r, q] = q, p
+            slot[r, p] = slot[r, q] = k
+            is_p[r, p] = True
+    return partner, slot, is_p
+
+
 @functools.partial(jax.jit, static_argnames=("sweeps",))
 def jacobi_eigh(A: jnp.ndarray, sweeps: int = 10):
     """Eigendecomposition of batched Hermitian matrices.

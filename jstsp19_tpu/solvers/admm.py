@@ -193,17 +193,30 @@ def proposed_admm(
         raise ValueError(f"unknown svt_method {svt_method!r}")
 
     if tracked:
-        from jstsp19_tpu.ops.jacobi import _round_robin_schedule
+        from jstsp19_tpu.ops.jacobi import (
+            _round_robin_schedule,
+            _schedule_gather_tables,
+        )
 
         sched = jnp.asarray(_round_robin_schedule(N))  # (N-1, 2, N/2)
+        part_t, slot_t, isp_t = (
+            jnp.asarray(t) for t in _schedule_gather_tables(N)
+        )  # (N-1, N) each: pair partner / pair slot / "is the p side"
         TRACK_ROUNDS = track_rounds
-        eyeN = jnp.eye(N, dtype=cdt)
 
-        def _track_rounds(T, U, start):
+        def _track_rounds(T, U, P, start):
+            # One parallel-ordering Jacobi round = N/2 disjoint Givens
+            # rotations.  The round matrix G has exactly TWO nonzeros per
+            # row/column, so Gᴴ·T·G, U·G and Gᴴ·P are applied as
+            # elementwise row/column linear combinations (gather + VPU f32
+            # math) rather than N×N matmuls: ~16x fewer FLOPs than the
+            # dense form, off the MXU, and natively f32 — the rotation
+            # chain itself needs no elevated matmul precision (the r2
+            # trace put the dense-G form at 64% of device self-time).
             def rr(carry, j):
-                T, U = carry
-                pq = sched[(start + j) % (N - 1)]
-                p, q = pq[0], pq[1]
+                T, U, P = carry
+                ridx = (start + j) % (N - 1)
+                p, q = sched[ridx, 0], sched[ridx, 1]  # (N/2,) each
                 app = jnp.real(T[..., p, p])
                 aqq = jnp.real(T[..., q, q])
                 apq = T[..., p, q]
@@ -212,36 +225,56 @@ def proposed_admm(
                     mag > 0, apq / jnp.where(mag > 0, mag, 1.0), 1.0 + 0.0j
                 )
                 theta = 0.5 * jnp.arctan2(2.0 * mag, app - aqq)
-                c = jnp.cos(theta).astype(cdt)
-                s = (jnp.sin(theta) * phase).astype(cdt)
-                G = (
-                    eyeN.at[p, p].set(c)
-                    .at[q, q].set(c)
-                    .at[p, q].set(-s)
-                    .at[q, p].set(jnp.conj(s))
-                )
-                return (G.conj().T @ T @ G, U @ G), None
+                c = jnp.cos(theta)  # (N/2,) real
+                s = (jnp.sin(theta) * phase).astype(cdt)  # (N/2,) complex
+                part, slot, isp = part_t[ridx], slot_t[ridx], isp_t[ridx]
+                cf = c[..., slot]  # (N,) real: both pair members share c
+                sf = s[..., slot]
+                # G[p,p]=G[q,q]=c, G[p,q]=−s, G[q,p]=s̄  ⇒
+                #  (X·G)[:,p] = c·X[:,p] + s̄·X[:,q];  (X·G)[:,q] = c·X[:,q] − s·X[:,p]
+                #  (Gᴴ·X)[p,:] = c·X[p,:] + s·X[q,:]; (Gᴴ·X)[q,:] = c·X[q,:] − s̄·X[p,:]
+                bR = jnp.where(isp, jnp.conj(sf), -sf)  # right-mult coeffs
+                bL = jnp.where(isp, sf, -jnp.conj(sf))  # left-mult coeffs
 
-            (T, U), _ = jax.lax.scan(rr, (T, U), jnp.arange(TRACK_ROUNDS))
-            return T, U
+                def rot_r(X):
+                    return X * cf[None, :] + jnp.take(X, part, axis=-1) * bR[None, :]
+
+                def rot_l(X):
+                    return X * cf[:, None] + jnp.take(X, part, axis=-2) * bL[:, None]
+
+                return (rot_l(rot_r(T)), rot_r(U), rot_l(P)), None
+
+            (T, U, P), _ = jax.lax.scan(rr, (T, U, P), jnp.arange(TRACK_ROUNDS))
+            return T, U, P
 
         def _tracked_svt(W, tau, U, i):
-            # elevated-precision matmuls: the TPU's single-pass bf16 default
-            # accumulates across the rotation chain and destroys the basis
-            with jax.default_matmul_precision(track_precision):
+            # Elevated-precision matmuls: the TPU's single-pass bf16 default
+            # accumulates across the U chain and destroys the basis.  The
+            # chain is restructured around P = Uᴴ·W — then T = P·Pᴴ (the
+            # basis-rotated Gram, == Uᴴ(WWᴴ)U), the Jacobi round updates
+            # P by the same elementwise left-rotation as T (P' = GᴴP since
+            # U' = U·G), and the shrunk reconstruction is U'·(f∘P'): three
+            # N×N×M-class matmuls total instead of the naive
+            # G/UᴴGU/UᴴW/reconstruction five (PERF.md r3).
+            def rot_chain():
                 Wc = jnp.where(
                     jnp.isfinite(W.real) & jnp.isfinite(W.imag), W, 0.0
                 )
-                G = Wc @ Wc.conj().T
-                T = U.conj().T @ G @ U
-                T, U = _track_rounds(T, U, (i * TRACK_ROUNDS) % (N - 1))
-                sig = jnp.sqrt(jnp.maximum(jnp.real(jnp.diagonal(T)), 0.0))
+                P = U.conj().T @ Wc  # (N, M)
+                T = P @ P.conj().T  # (N, N)
+                T2, U2, P2 = _track_rounds(
+                    T, U, P, (i * TRACK_ROUNDS) % (N - 1)
+                )
+                sig = jnp.sqrt(jnp.maximum(jnp.real(jnp.diagonal(T2)), 0.0))
                 f = jnp.where(
                     sig > 0,
                     jnp.maximum(sig - tau, 0.0) / jnp.where(sig > 0, sig, 1.0),
                     0.0,
                 )
-                return (U * f[None, :]) @ (U.conj().T @ Wc), U
+                return U2 @ (f[:, None] * P2), U2
+
+            with jax.default_matmul_precision(track_precision):
+                return rot_chain()
 
     def body(carry, i):
         st, U = carry
