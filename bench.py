@@ -17,6 +17,7 @@ stderr alongside.
 Output: ONE JSON line on stdout:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 """
+import argparse
 import json
 import os
 import sys
@@ -42,19 +43,19 @@ REF_PROPOSED_NMSE_0DB = 0.12998  # errorVSsnr_angles.fig, Proposed @ 0 dB
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    profile = "--profile" in sys.argv
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     # batch 256 ≈ the single-chip throughput knee (tracked tr1: 2652 @ 256,
     # 1962 @ 512, 1580 @ 1024 est/s — results/tracked_rounds_tpu.json);
     # executables for the defaults are in the persistent cache, so
     # cold-compile risk on a degraded relay only applies to novel configs.
-    batch = int(args[0]) if args else 256
-    svt_method = "tracked"
-    for a in sys.argv[1:]:
-        if a.startswith("--svt-method"):
-            svt_method = a.split("=", 1)[1] if "=" in a else sys.argv[
-                sys.argv.index(a) + 1
-            ]
+    p.add_argument("batch", nargs="?", type=int, default=256)
+    p.add_argument(
+        "--svt-method", default="tracked",
+        choices=("tracked", "eigh", "jacobi", "pallas"),
+    )
+    p.add_argument("--profile", action="store_true")
+    ns = p.parse_args()
+    batch, svt_method, profile = ns.batch, ns.svt_method, ns.profile
     # 'tracked' SVT (warm-started spectral tracking, solvers/admm.py) is
     # NMSE-identical to 'eigh' across the SNR curve and 5x faster on chip
     # (2652 vs 528 est/s at batch 256): the batched eigh inside the scan

