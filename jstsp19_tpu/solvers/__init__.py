@@ -1,4 +1,10 @@
 from jstsp19_tpu.solvers.lowrank import svt, mc_svt, mc_admm  # noqa: F401
+from jstsp19_tpu.solvers.rank_one import (  # noqa: F401
+    mc_prior_mse,
+    prior_moments,
+    rank_one_fit,
+    rank_one_se,
+)
 from jstsp19_tpu.solvers.sparse import soft_threshold, sparse_admm  # noqa: F401
 from jstsp19_tpu.solvers.admm import (  # noqa: F401
     proposed_admm,
@@ -23,6 +29,10 @@ from jstsp19_tpu.solvers.estim import (  # noqa: F401
     GroupSparsePrior,
     ProbitLikelihood,
     LogitLikelihood,
+    RobustProbitLikelihood,
+    RobustLogitLikelihood,
+    TDistLikelihood,
+    MultiLogitLikelihood,
     PoissonLikelihood,
     QuantizedLikelihood,
     OutlierLikelihood,
@@ -48,7 +58,13 @@ from jstsp19_tpu.solvers.estim import (  # noqa: F401
     L1Likelihood,
     NLLikelihood,
 )
-from jstsp19_tpu.solvers.vamp import vamp_glm, vamp_mmwave  # noqa: F401
+from jstsp19_tpu.solvers.vamp import (  # noqa: F401
+    cawgn_likelihood_mse,
+    mc_likelihood_mse,
+    vamp_glm,
+    vamp_glm_se,
+    vamp_mmwave,
+)
 from jstsp19_tpu.solvers.gamp import gamp, fista, amp, sure_amp  # noqa: F401
 from jstsp19_tpu.solvers.gamp_full import (  # noqa: F401
     GampOptions,

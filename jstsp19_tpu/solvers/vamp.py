@@ -32,6 +32,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from jstsp19_tpu.core import prng
 from jstsp19_tpu.ops.kron import KronDictOp
 from jstsp19_tpu.solvers.estim import CAwgnPrior, SparsePrior, CAwgnLikelihood
 
@@ -44,6 +45,10 @@ class VampResult(NamedTuple):
     z: jnp.ndarray  # transform-domain estimate z1
     gam1x: jnp.ndarray
     gam1z: jnp.ndarray
+    # per-iteration E|x1 − x0|² when a ground truth is supplied (the
+    # reference's fxnErr error-callback hook, VampGlmEst.m:280-290) —
+    # used by the VampGlmSE overlay tests
+    mse_track: Optional[jnp.ndarray] = None
 
 
 def _clip_gam(g):
@@ -58,6 +63,7 @@ def vamp_glm(
     nit: int = 100,
     damp: float = 0.85,
     r1_init: Optional[jnp.ndarray] = None,
+    track_x0: Optional[jnp.ndarray] = None,
 ) -> VampResult:
     """Run VAMP-GLM for ``y ~ p(y | op.mv(x))``.
 
@@ -106,6 +112,19 @@ def vamp_glm(
         gam1z: jnp.ndarray
         x1: jnp.ndarray
         z1: jnp.ndarray
+        # keep-best tracking: the VAMP mean iteration can destabilize
+        # AFTER reaching its fixed point (measured: the linearized map
+        # around the fixed point has spectral radius > 1 on full-rank
+        # high-SNR problems; the reference runs the same dynamics but its
+        # f64 arithmetic seeds the unstable mode at 1e-16 so 100
+        # iterations end before the blowup surfaces — f32 does not get
+        # that grace).  The iterate with the smallest relative step is
+        # the most settled point; return it instead of the last.
+        best_x1: jnp.ndarray
+        best_z1: jnp.ndarray
+        best_gam1x: jnp.ndarray
+        best_gam1z: jnp.ndarray
+        best_rc: jnp.ndarray
 
     init = Carry(
         r1=r1,
@@ -114,6 +133,11 @@ def vamp_glm(
         gam1z=gam1z,
         x1=jnp.zeros(in_shape, x_dtype),
         z1=jnp.zeros(out_shape, x_dtype),
+        best_x1=jnp.zeros(in_shape, x_dtype),
+        best_z1=jnp.zeros(out_shape, x_dtype),
+        best_gam1x=gam1x,
+        best_gam1z=gam1z,
+        best_rc=jnp.asarray(jnp.inf, rdt),
     )
 
     def body(c: Carry, i):
@@ -154,8 +178,16 @@ def vamp_glm(
             z2 = op.mv(x2)
 
         # ---- extrapolation back (:467-495), message-damped --------------
-        r1n = (x2 - r2 * (1 - alf)) / alf
-        p1n = (delta * z2 - p2 * alf) / (delta - alf)
+        # Difference form of the reference's (x2 − (1−alf)·r2)/alf and
+        # (delta·z2 − alf·p2)/(delta − alf): algebraically identical, but
+        # the textbook form cancels two nearly-equal large terms over a
+        # vanishing denominator whenever alf → 0 or alf → delta (full-rank
+        # output at high SNR) — catastrophic in float32 (measured: the
+        # solver reached the SE fixed-point region then diverged to 1e10).
+        # Here the amplification multiplies only the *gap* (x2 − r2),
+        # which itself vanishes at the fixed point.
+        r1n = x2 + ((1 - alf) / alf) * (x2 - r2)
+        p1n = z2 + (alf / (delta - alf)) * (z2 - p2)
         gam1xn = _clip_gam(gam2x * alf / (1 - alf))
         gam1zn = _clip_gam(gam2z * (delta - alf) / alf)
 
@@ -176,15 +208,129 @@ def vamp_glm(
         r1n = r1n * scale
         p1n = p1n * scale
 
+        mse = (
+            jnp.mean(jnp.abs(x1 - track_x0) ** 2)
+            if track_x0 is not None
+            else jnp.zeros((), rdt)
+        )
+        # keep-best: relative step of the posterior mean (the reference's
+        # commented stopping rule, VampGlmEst.m:505-507, turned into an
+        # argmin so the scan needs no early exit)
+        rc = jnp.sum(jnp.abs(x1 - c.x1) ** 2) / jnp.maximum(
+            jnp.sum(jnp.abs(x1) ** 2), jnp.finfo(rdt).tiny
+        )
+        rc = jnp.where(first, jnp.asarray(jnp.inf, rdt), rc.astype(rdt))
+        better = rc < c.best_rc
         return (
-            Carry(r1=r1n, p1=p1n, gam1x=gam1xn, gam1z=gam1zn, x1=x1, z1=z1),
-            None,
+            Carry(
+                r1=r1n, p1=p1n, gam1x=gam1xn, gam1z=gam1zn, x1=x1, z1=z1,
+                best_x1=jnp.where(better, x1, c.best_x1),
+                best_z1=jnp.where(better, z1, c.best_z1),
+                best_gam1x=jnp.where(better, c.gam1x, c.best_gam1x),
+                best_gam1z=jnp.where(better, c.gam1z, c.best_gam1z),
+                best_rc=jnp.minimum(rc, c.best_rc),
+            ),
+            mse,
         )
 
-    final, _ = jax.lax.scan(body, init, jnp.arange(nit))
-    # One last denoise against the final message gives the posterior estimate.
-    x_fin, _ = prior.estim(final.r1, 1.0 / final.gam1x)
-    return VampResult(x=x_fin, z=final.z1, gam1x=final.gam1x, gam1z=final.gam1z)
+    final, mse_track = jax.lax.scan(body, init, jnp.arange(nit))
+    return VampResult(
+        x=final.best_x1, z=final.best_z1,
+        gam1x=final.best_gam1x, gam1z=final.best_gam1z,
+        mse_track=mse_track if track_x0 is not None else None,
+    )
+
+
+def vamp_glm_se(
+    prior_sampler,
+    prior,
+    likelihood_mse,
+    d_spectrum: jnp.ndarray,
+    N: int,
+    delta: float,
+    nit: int = 50,
+    n_samples: int = 4096,
+    seed: int = 0,
+) -> jnp.ndarray:
+    """State evolution of VAMP-GLM (``VAMP/VampGlmSE.m:1-35``): the analytic
+    per-iteration MSE prediction for the solver family on the jstsp19
+    experiment path (``vamp.m`` → ``VampGlmEst``).
+
+    Args:
+      prior_sampler: ``(key, n) -> (n,)`` draws from the prior (for the
+        Monte-Carlo denoiser-MSE expectation — the ``EstimInAvg`` analog).
+      prior: estimator module with ``estim(r, rvar)``.
+      likelihood_mse: ``pvar -> (mse1z, zvar)`` — the output-stage average
+        (``estOutAvg.mse``).  For the AWGN/CAwgn likelihood use
+        :func:`cawgn_likelihood_mse` (the closed form the reference demo
+        uses, ``demoVampGlm.m:203``); for other channels build one with
+        :func:`mc_likelihood_mse`.
+      d_spectrum: the min(M,N) nonzero eigenvalues of the operator Gram
+        (``VampGlmSE.m:27`` — note length(d) = min(M,N)).
+      N / delta: input dimension and M/N.
+
+    Returns the (nit,) sequence of predicted denoiser MSEs ``1/eta1x``
+    (``VampGlmSE.m:34``) — overlay against the empirical
+    ``E|x1 − x0|²`` trajectory of :func:`vamp_glm`.
+    """
+    key = prng.experiment_key(seed)
+    x0 = prior_sampler(key, n_samples)
+    noise = prng.complex_normal(jax.random.fold_in(key, 1), x0.shape, var=1.0)
+    gam1x = jnp.asarray(GAM_MIN, jnp.float32)
+    gam1z = jnp.asarray(GAM_MIN, jnp.float32)
+    d = d_spectrum.astype(jnp.float32)
+
+    def denoiser_mse(gam1x):
+        r = x0 + noise / jnp.sqrt(gam1x)
+        xhat, _ = prior.estim(r, 1.0 / gam1x)
+        return jnp.maximum(jnp.mean(jnp.abs(xhat - x0) ** 2), 1e-30)
+
+    def body(carry, _):
+        gam1x, gam1z = carry
+        # nonlinear stage (VampGlmSE.m:19-24)
+        mse1x = denoiser_mse(gam1x)
+        eta1x = 1.0 / mse1x
+        gam2x = jnp.clip(eta1x - gam1x, 1e-3 * eta1x, GAM_MAX)
+        _, zvar = likelihood_mse(1.0 / gam1z)
+        eta1z = 1.0 / jnp.maximum(zvar, 1e-30)
+        gam2z = jnp.clip(eta1z - gam1z, 1e-3 * eta1z, GAM_MAX)
+        # linear stage (:27-31)
+        alf = jnp.sum(d / (d + gam2x / gam2z)) / N
+        alf = jnp.clip(alf, 1e-6, min(1.0, delta) * (1.0 - 1e-6))
+        gam1x_n = _clip_gam(gam2x * alf / (1.0 - alf))
+        gam1z_n = _clip_gam(gam2z * (delta - alf) / alf)
+        return (gam1x_n, gam1z_n), mse1x
+
+    _, mses = jax.lax.scan(body, (gam1x, gam1z), None, length=nit)
+    return mses
+
+
+def cawgn_likelihood_mse(wvar):
+    """The AWGN output-stage average in closed form
+    (``demoVampGlm.m:203``): mse1z = zvar = 1/(1/wvar + 1/pvar)."""
+
+    def mse(pvar):
+        v = 1.0 / (1.0 / wvar + 1.0 / pvar)
+        return v, v
+
+    return mse
+
+
+def mc_likelihood_mse(likelihood_from_y, channel_sampler, phat, seed: int = 0):
+    """Monte-Carlo output-stage average for a non-Gaussian channel (the
+    ``stateEvo/EstimOutAvg.m`` analog): internally draws
+    z = phat + CN(0, pvar), y ~ p(y|z), and reports
+    (E|ẑ−z|², E[zvar]) of ``likelihood_from_y(y).estim(phat, pvar)``."""
+    key = prng.experiment_key(seed)
+    e = prng.complex_normal(key, phat.shape, var=1.0)
+
+    def mse(pvar):
+        z = phat + jnp.sqrt(pvar) * e
+        y = channel_sampler(jax.random.fold_in(key, 1), z)
+        zhat, zvar = likelihood_from_y(y).estim(phat, pvar)
+        return jnp.mean(jnp.abs(zhat - z) ** 2), jnp.mean(zvar)
+
+    return mse
 
 
 def vamp_mmwave(

@@ -22,9 +22,10 @@ GOLDEN = {
     "proposed": 0.20721,
     "proposed_angles": 0.14287,
     # vamp on the reference's normal-equations form (vamp_normal_eq=True,
-    # plot_errorVSsnr.m:79-80) — round-2 default; the direct-model value
-    # at this key was 0.21392.
-    "vamp": 0.26318,
+    # plot_errorVSsnr.m:79-80); round-3 value after the keep-best +
+    # difference-form stability fix (solvers/vamp.py) — was 0.26318 in
+    # round 2 (last-iterate), 0.21392 on the direct model.
+    "vamp": 0.16993,
 }
 
 
