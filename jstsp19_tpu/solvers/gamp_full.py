@@ -84,6 +84,12 @@ class GampOptions:
     max_sum: bool = False
     tune_wvar: bool = False
     save_hist: bool = False
+    # decimated histories: keep iterations hist_intvl, 2·hist_intvl, …
+    # (``GampOpt.m:134-136``)
+    hist_intvl: int = 1
+    # derive xvar0 from a good point estimate xhat0 by the estimInvert
+    # fixed point (``GampOpt.m:128-132``, ``gampEst.m:292-330``)
+    xvar0auto: bool = False
 
 
 class GampState(NamedTuple):
@@ -511,6 +517,43 @@ def _gamp_scan(prior, op, state: GampState, opts: GampOptions, column_norms):
     return jax.lax.scan(body, state, None, length=opts.nit)
 
 
+def _estim_invert(mod, target, var, iters: int = 50, stepsize: float = 0.25):
+    """Find ``phat`` such that ``mod.estim(phat, var)[0] ≈ target`` by a
+    damped fixed-point iteration (``main/estimInvert.m:10``; stepsize
+    matches the reference's 0.25 default)."""
+
+    def body(_, ph):
+        zh, _ = mod.estim(ph, var)
+        return ph + stepsize * (target - zh)
+
+    ph = jax.lax.fori_loop(0, iters, body, target)
+    zh, zv = mod.estim(ph, var)
+    return ph, zh, zv
+
+
+def _xvar0_auto(prior, likelihood, op, xhat0, opts, iters: int = 20):
+    """Automatic xvar0 from a point estimate (``gampEst.m:292-330``): the
+    fixed point of GAMP's variance propagation with the means pinned at
+    ``xhat0`` via inverted estimators."""
+    eps = 1e-20
+    ax = op.mv(xhat0)
+    xvar0 = jnp.maximum(jnp.mean(jnp.abs(xhat0) ** 2), 1e-12)
+    xvar = jnp.broadcast_to(xvar0.astype(jnp.float32), op.in_shape)
+
+    def body(_, xvar):
+        pvar = jnp.maximum(opts.pvar_min, op.sq_mv(xvar))
+        _, _, zvar = _estim_invert(likelihood, ax, pvar)
+        svar = (1.0 - zvar / pvar) / pvar
+        svar = jnp.where(jnp.abs(svar) < eps, eps, svar)
+        rvar = jnp.maximum(
+            opts.rvar_min, 1.0 / jnp.maximum(op.sq_rmv(svar), eps)
+        )
+        _, _, xvar_new = _estim_invert(prior, xhat0, rvar)
+        return jnp.broadcast_to(jnp.real(xvar_new), xvar.shape)
+
+    return jax.lax.fori_loop(0, iters, body, xvar)
+
+
 def gamp_est(
     prior,
     likelihood,
@@ -533,6 +576,15 @@ def gamp_est(
     cplx = _complexity(prior, likelihood) or (
         x_init is not None and jnp.iscomplexobj(jnp.asarray(x_init))
     )
+    if (
+        opts.xvar0auto
+        and state_in is None
+        and x_init is not None
+        and xvar_init is None
+    ):
+        xvar_init = _xvar0_auto(
+            prior, likelihood, op, jnp.asarray(x_init), opts
+        )
     prior_a, like_a, op_a = augment_problem(prior, likelihood, op, opts)
     if state_in is None:
         state = _init_state(prior_a, like_a, op_a, opts, x_init, xvar_init, cplx)
@@ -579,4 +631,8 @@ def gamp_est(
         step=state.step,
         nit=state.it,
     )
+    if opts.hist_intvl > 1:
+        # decimated histories: iterations intvl, 2·intvl, … (GampOpt.m:134-136)
+        k = opts.hist_intvl
+        hist = jax.tree_util.tree_map(lambda a: a[k - 1 :: k], hist)
     return estfin, state, hist

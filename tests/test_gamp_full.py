@@ -238,3 +238,36 @@ def test_fxnhandle_op_probe_and_adjoint():
     np.testing.assert_allclose(
         float(jnp.sum(op.sq_mv(xv))), float(op.fro2) * 40.0 / 40.0, rtol=1e-4
     )
+
+
+def test_hist_intvl_decimates_histories():
+    """``histIntvl`` (GampOpt.m:134-136): save every k-th iteration."""
+    prior, like, op, x = _bg_problem()
+    _, _, hist_full = gamp_est(prior, like, op, GampOptions(nit=40, save_hist=True))
+    _, _, hist_dec = gamp_est(
+        prior, like, op, GampOptions(nit=40, save_hist=True, hist_intvl=10)
+    )
+    assert hist_full["xhat"].shape[0] == 40
+    assert hist_dec["xhat"].shape[0] == 4
+    # decimated entries are iterations 10, 20, 30, 40 of the full history
+    np.testing.assert_allclose(
+        np.asarray(hist_dec["xhat"]), np.asarray(hist_full["xhat"][9::10]),
+        atol=1e-6,
+    )
+
+
+def test_xvar0auto_from_good_point_estimate():
+    """``xvar0auto`` (gampEst.m:292-330): with xhat0 = x0 the derived
+    xvar0 is far below the prior variance, and GAMP still converges."""
+    from jstsp19_tpu.solvers.gamp_full import _xvar0_auto
+
+    prior, like, op, x = _bg_problem()
+    opts = GampOptions(nit=50, xvar0auto=True)
+    xvar0 = _xvar0_auto(prior, like, op, jnp.asarray(x, jnp.complex64), opts)
+    prior_var = float(jnp.mean(jnp.abs(jnp.asarray(x)) ** 2))  # ~ k/n scale
+    assert float(jnp.mean(xvar0)) < prior_var  # tighter than the energy scale
+    assert float(jnp.mean(xvar0)) > 0.0
+    estfin, _, _ = gamp_est(
+        prior, like, op, opts, x_init=jnp.asarray(x, jnp.complex64)
+    )
+    assert _nmse(estfin.xhat, x) < 1e-2
