@@ -204,22 +204,26 @@ def proposed_admm(
         )  # (N-1, N) each: pair partner / pair slot / "is the p side"
         TRACK_ROUNDS = track_rounds
 
-        def _track_rounds(T, U, P, start):
+        def _track_rounds(U, P, start):
             # One parallel-ordering Jacobi round = N/2 disjoint Givens
-            # rotations.  The round matrix G has exactly TWO nonzeros per
-            # row/column, so Gᴴ·T·G, U·G and Gᴴ·P are applied as
+            # rotations.  The rotated Gram T = P·Pᴴ is never formed: the
+            # round only needs its diagonal and the N/2 scheduled (p, q)
+            # entries, all of which are row reductions of P
+            # (T[p,q] = ⟨P[p,:], P[q,:]⟩) — VPU work.  The round matrix G
+            # has exactly TWO nonzeros per row/column, so U·G and Gᴴ·P are
             # elementwise row/column linear combinations (gather + VPU f32
-            # math) rather than N×N matmuls: ~16x fewer FLOPs than the
-            # dense form, off the MXU, and natively f32 — the rotation
-            # chain itself needs no elevated matmul precision (the r2
-            # trace put the dense-G form at 64% of device self-time).
+            # math) rather than N×N matmuls — the rotation chain needs no
+            # MXU and no elevated matmul precision (the r2 trace put the
+            # dense-G form at 64% of device self-time).
             def rr(carry, j):
-                T, U, P = carry
+                U, P = carry
                 ridx = (start + j) % (N - 1)
                 p, q = sched[ridx, 0], sched[ridx, 1]  # (N/2,) each
-                app = jnp.real(T[..., p, p])
-                aqq = jnp.real(T[..., q, q])
-                apq = T[..., p, q]
+                Pp = P[p, :]  # (N/2, M)
+                Pq = P[q, :]
+                app = jnp.sum(jnp.abs(Pp) ** 2, axis=-1)
+                aqq = jnp.sum(jnp.abs(Pq) ** 2, axis=-1)
+                apq = jnp.sum(Pp * jnp.conj(Pq), axis=-1)
                 mag = jnp.abs(apq)
                 phase = jnp.where(
                     mag > 0, apq / jnp.where(mag > 0, mag, 1.0), 1.0 + 0.0j
@@ -242,30 +246,29 @@ def proposed_admm(
                 def rot_l(X):
                     return X * cf[:, None] + jnp.take(X, part, axis=-2) * bL[:, None]
 
-                return (rot_l(rot_r(T)), rot_r(U), rot_l(P)), None
+                return (rot_r(U), rot_l(P)), None
 
-            (T, U, P), _ = jax.lax.scan(rr, (T, U, P), jnp.arange(TRACK_ROUNDS))
-            return T, U, P
+            (U, P), _ = jax.lax.scan(rr, (U, P), jnp.arange(TRACK_ROUNDS))
+            return U, P
 
         def _tracked_svt(W, tau, U, i):
             # Elevated-precision matmuls: the TPU's single-pass bf16 default
             # accumulates across the U chain and destroys the basis.  The
-            # chain is restructured around P = Uᴴ·W — then T = P·Pᴴ (the
-            # basis-rotated Gram, == Uᴴ(WWᴴ)U), the Jacobi round updates
-            # P by the same elementwise left-rotation as T (P' = GᴴP since
-            # U' = U·G), and the shrunk reconstruction is U'·(f∘P'): three
-            # N×N×M-class matmuls total instead of the naive
-            # G/UᴴGU/UᴴW/reconstruction five (PERF.md r3).
+            # chain is restructured around P = Uᴴ·W: the rotated Gram
+            # T = P·Pᴴ (== Uᴴ(WWᴴ)U) is consumed entirely through VPU row
+            # reductions of P, the Jacobi round updates P by the
+            # elementwise left-rotation (P' = GᴴP since U' = U·G), the
+            # shrunk singular values come from diag(T') = row norms of P',
+            # and the reconstruction is U'·(f∘P'): TWO N×N×M matmuls per
+            # iteration instead of the naive G/UᴴGU/UᴴW/reconstruction
+            # five (PERF.md r3).
             def rot_chain():
                 Wc = jnp.where(
                     jnp.isfinite(W.real) & jnp.isfinite(W.imag), W, 0.0
                 )
                 P = U.conj().T @ Wc  # (N, M)
-                T = P @ P.conj().T  # (N, N)
-                T2, U2, P2 = _track_rounds(
-                    T, U, P, (i * TRACK_ROUNDS) % (N - 1)
-                )
-                sig = jnp.sqrt(jnp.maximum(jnp.real(jnp.diagonal(T2)), 0.0))
+                U2, P2 = _track_rounds(U, P, (i * TRACK_ROUNDS) % (N - 1))
+                sig = jnp.sqrt(jnp.sum(jnp.abs(P2) ** 2, axis=-1))
                 f = jnp.where(
                     sig > 0,
                     jnp.maximum(sig - tau, 0.0) / jnp.where(sig > 0, sig, 1.0),
