@@ -549,4 +549,11 @@ def time_comparisons(n_mc=4, seed=0, mesh=None, reps=3, **kw):
     )
     res.extras["backend"] = jax.default_backend()
     res.extras["device_kind"] = jax.devices()[0].device_kind
+    res.extras["note"] = (
+        f"latency-bound small-batch numbers (batch={n_mc}): per-realization "
+        "wall-clock at this batch, NOT peak throughput — the accelerator "
+        "amortizes over large batches (bench.py batch 256 reaches "
+        "~3000 est/s vs the ~35/s this artifact's 0.028 s/realization "
+        "implies; see PERF.md batch scaling)"
+    )
     return res

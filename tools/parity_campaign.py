@@ -59,7 +59,8 @@ def run_families(n_mc=64, seed=0):
         print(f"[families] {fam}: {time.time()-t0:.0f}s -> {out}", flush=True)
 
 
-def _closure_realization(key, noise_var, *, T, ratio, Imax, quirks):
+def _closure_realization(key, noise_var, *, T, ratio, Imax, quirks,
+                         L=4, n_rays=3):
     """All estimators on the `comm_system_training` frontend (the
     plot_errorVSsnr_approx.m pipeline, extended with the conventional
     baselines the out-of-repo figs carry)."""
@@ -75,9 +76,9 @@ def _closure_realization(key, noise_var, *, T, ratio, Imax, quirks):
         vamp_mmwave,
     )
 
-    Nt, Nr, L = 4, 32, 4
+    Nt, Nr = 4, 32
     ch = wideband_mmwave_channel(
-        prng.role_key(key, prng.ROLE_CHANNEL), L, Nr, Nt, 2, 3, Nr, Nt,
+        prng.role_key(key, prng.ROLE_CHANNEL), L, Nr, Nt, 2, n_rays, Nr, Nt,
         quirks=quirks,
     )
     Yp, Yc, W, Omega, Lr, Psi = comm_system_training(
@@ -156,6 +157,47 @@ def run_closure(n_mc=32, seed=0, Imax=100):
                     json.dump(results, f, indent=1)
 
 
+def run_closure_sweeps(n_mc=32, seed=0, Imax=100):
+    """Delays-like and paths-like sweeps on the T=70/0.75 frontend — do the
+    out-of-repo errorVSdelays.fig (x=1,3,5,7,9; Proposed ~1e-3) and
+    errorVSspatialpaths.fig (x=2·rays; Proposed ~2e-3) values come from
+    THIS frontend at their drivers' SNR of −5 dB?"""
+    import functools
+
+    from jstsp19_tpu.core import prng
+
+    nv = 10 ** (5 / 10) * 0.1  # −5 dB
+    results = []
+    for tag, axis, values, fixed in (
+        ("delays_like", "L", [1, 3, 5, 7, 9], {}),
+        ("paths_like", "n_rays", [1, 3, 6, 9, 12], {}),
+    ):
+        for quirks in (False, True):
+            curves = {}
+            for i, v in enumerate(values):
+                run = jax.jit(
+                    jax.vmap(
+                        functools.partial(
+                            _closure_realization, T=70, ratio=0.75,
+                            Imax=Imax, quirks=quirks, **{axis: v}, **fixed,
+                        ),
+                        in_axes=(0, None),
+                    )
+                )
+                keys = prng.realization_keys(prng.experiment_key(seed), i, n_mc)
+                out = run(keys, jnp.asarray(10 ** (5 / 10 - 1), jnp.float32))
+                for m, errs in out.items():
+                    curves.setdefault(m, []).append(float(np.mean(np.asarray(errs))))
+                print(f"[closure-{tag}] quirks={quirks} {axis}={v}: "
+                      + ", ".join(f"{m}={curves[m][-1]:.3g}" for m in sorted(curves)),
+                      flush=True)
+            results.append(dict(tag=tag, quirks=quirks, axis=axis,
+                                values=values, snr_db=-5, T=70, ratio=0.75,
+                                Imax=Imax, n_mc=n_mc, curves=curves))
+            with open(os.path.join(REPO, "results", "parity_closure_sweeps.json"), "w") as f:
+                json.dump(results, f, indent=1)
+
+
 def main():
     cmd = sys.argv[1] if len(sys.argv) > 1 else "families"
     n_mc = int(sys.argv[2]) if len(sys.argv) > 2 else None
@@ -163,6 +205,8 @@ def main():
         run_families(n_mc=n_mc or 64)
     elif cmd == "closure":
         run_closure(n_mc=n_mc or 32)
+    elif cmd == "closure_sweeps":
+        run_closure_sweeps(n_mc=n_mc or 32)
     else:
         raise SystemExit(f"unknown subcommand {cmd!r}")
 
