@@ -1,0 +1,64 @@
+"""Regression tests for the round-3 constructive parity closure.
+
+PARITY.md: the reference's camera-ready figs (`errorVSsnr.fig`,
+`errorVStraining_dbf.fig`, `errorVSspatialpaths.fig`, ...) come from the
+`wideband_hybBF_comm_system_training` frontend (T=70, subSamplingRatio
+0.75 / 1.0), NOT from the committed sweep drivers.  These tests pin the
+reproduction so a frontend/solver regression that breaks the closure
+fails the suite.
+"""
+import functools
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tools")
+
+from jstsp19_tpu.core import prng  # noqa: E402
+from parity_campaign import _closure_realization  # noqa: E402
+
+N_MC = 16
+
+
+def _run(noise_var, **cfg):
+    fn = jax.jit(
+        jax.vmap(
+            functools.partial(_closure_realization, **cfg), in_axes=(0, None)
+        )
+    )
+    keys = prng.realization_keys(prng.experiment_key(0), 0, N_MC)
+    out = fn(keys, jnp.asarray(noise_var, jnp.float32))
+    return {m: np.asarray(v) for m, v in out.items()}
+
+
+def test_errorVSsnr_fig_floor_reproduced():
+    """fig(2) Proposed @ +15 dB = 1.44e-4; the quirks/0.75/T=70 frontend
+    must land within 0.35 decades (PARITY.md closure table)."""
+    out = _run(10 ** (-1.5), T=70, ratio=0.75, Imax=100, quirks=True)
+    m = out["proposed"].mean()
+    assert abs(np.log10(m) - np.log10(1.44e-4)) < 0.35, m
+
+
+def test_training_dbf_identity_and_value():
+    """errorVStraining_dbf.fig shows Proposed == TSSR numerically; at
+    subSamplingRatio 1.0 (fully observed) proposed/TSSR/LS collapse to the
+    same estimator, and the T=30/+15 dB value matches the fig's 2.56e-3."""
+    out = _run(10 ** (-1.5), T=30, ratio=1.0, Imax=100, quirks=False)
+    np.testing.assert_allclose(out["proposed"], out["ls"], rtol=1e-3)
+    np.testing.assert_allclose(out["tssr"], out["ls"], rtol=1e-3)
+    m = out["proposed"].mean()
+    assert abs(np.log10(m) - np.log10(2.56e-3)) < 0.35, m
+
+
+def test_spatialpaths_fig_reproduced():
+    """errorVSspatialpaths.fig: Proposed ~0.0016, TSSR ~0.115 at
+    rays=3 (x=6); the quirks/0.75/T=70 frontend at −5 dB matches both."""
+    out = _run(10 ** 0.5 * 0.1, T=70, ratio=0.75, Imax=100, quirks=True,
+               n_rays=3)
+    mp = out["proposed"].mean()
+    mt = out["tssr"].mean()
+    assert abs(np.log10(mp) - np.log10(1.8e-3)) < 0.4, mp
+    assert abs(np.log10(mt) - np.log10(0.115)) < 0.25, mt

@@ -1,0 +1,57 @@
+"""Golden regressions for the five quirks-ensemble sweep families.
+
+PARITY.md (round 3): the committed fig values for these families are from
+out-of-repo camera-ready configs (closure in tests/test_parity_closure.py);
+the committed drivers' own quirks-ensemble behavior at reference MC depth
+is recorded in results/<family>_quirks.json (n_mc=64).  These tests pin one
+representative point per family at n_mc=16 fresh seeds, 2 dB tolerance —
+MC error at n_mc=16 vs 64 is ~1 dB for these distributions; a solver or
+frontend scaling bug (e.g. in how T, L, Nt or Mr enters) moves them far
+more (VERDICT r2 Weak #1).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jstsp19_tpu.core import prng
+from jstsp19_tpu.harness.pipeline import PointConfig, realization_errors
+
+N_MC = 16
+METHODS = ("proposed", "proposed_angles")
+
+# family -> (PointConfig kwargs, snr_db, campaign n_mc=64 means)
+CASES = {
+    "delays_L6": (
+        dict(L=6, T=15, num_nonzero=50), -5, {"proposed": 0.634, "proposed_angles": 0.464},
+    ),
+    "paths_rays6": (
+        dict(n_rays=6), -5, {"proposed": 0.165, "proposed_angles": 0.113},
+    ),
+    "framelength_T25": (
+        dict(Nt=8, Gt=8, T=25, num_nonzero=50, beamformer="fft"), -15,
+        {"proposed": 0.373, "proposed_angles": 0.198},
+    ),
+    "nt_Nt8": (
+        dict(Nt=8, Gt=8, T=35, num_nonzero=50, beamformer="fft"), -15,
+        {"proposed": 0.264, "proposed_angles": 0.123},
+    ),
+    "nrf_Mr12": (
+        dict(Mr=12, T=5), -5, {"proposed": 0.504, "proposed_angles": 0.623},
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_family_point_golden(name):
+    kwargs, snr, golden = CASES[name]
+    pc = PointConfig(channel_quirks=True, methods=METHODS, **kwargs)
+    keys = prng.realization_keys(prng.experiment_key(99), 0, N_MC)
+    nv = jnp.asarray(10 ** (-snr / 10), jnp.float32)
+    out = jax.jit(
+        jax.vmap(lambda k: realization_errors(k, pc, nv))
+    )(keys)
+    for m, ref in golden.items():
+        mean = float(np.mean(np.asarray(out[m])))
+        gap_db = abs(10 * np.log10(mean / ref))
+        assert gap_db < 2.0, f"{name}/{m}: mean {mean:.4f} vs golden {ref:.4f} ({gap_db:.2f} dB)"
