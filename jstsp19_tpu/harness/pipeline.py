@@ -61,7 +61,11 @@ class PointConfig:
     admm_mode: str = "approximate"
     svt_method: str = "eigh"  # 'jacobi' = eigh-free inner loop (ops/jacobi.py)
     track_rounds: int = 1  # Jacobi refresh rounds/iter for svt_method='tracked' (1 = eigh-identical here, PERF.md)
-    track_precision: str = "highest"  # matmul precision of the tracked eigenbasis chain
+    # matmul precision of the tracked chain's two remaining matmuls:
+    # 'high' (3-pass bf16) measured on-chip at batch-mean NMSE equal to
+    # eigh to 3e-8 (0 dB) / 3e-4 (+15 dB) and ~7% faster than 'highest'
+    # (3371 vs 3165 est/s @ b256, results/tracked_rounds_tpu.json r3)
+    track_precision: str = "high"
     vamp_nit: int = 100
     vamp_true_noise: bool = False  # reference passes sigma=1 (plot_errorVSsnr.m:100)
     # Run VAMP on the reference's normal-equations form y=vec(Y·Bᴴ),
