@@ -26,6 +26,24 @@ def main(argv=None):
     demop.add_argument("name", nargs="?", default=None)
     demop.add_argument("--tpu", action="store_true",
                        help="run on the TPU backend (default: CPU)")
+    panelp = sub.add_parser(
+        "panel",
+        help="interactive parameter panel: pick a sweep point config, edit "
+        "its fields, run a Monte-Carlo batch and print/plot the NMSE — the "
+        "interactive analog of the reference's GUI/ parameter forms",
+    )
+    panelp.add_argument("--cpu", action="store_true")
+    panelp.add_argument(
+        "--set", action="append", default=[], metavar="FIELD=VALUE",
+        help="non-interactive field override (repeatable); with --batch, "
+        "skips all prompts",
+    )
+    panelp.add_argument("--batch", action="store_true",
+                        help="no prompts: defaults + --set overrides only")
+    panelp.add_argument("--n-mc", type=int, default=16)
+    panelp.add_argument("--snr-db", type=float, default=0.0)
+    panelp.add_argument("--out", default=None,
+                        help="optional PNG path for the per-realization histogram")
     runp = sub.add_parser("run", help="run an experiment recipe")
     runp.add_argument("experiment")
     runp.add_argument("--n-mc", type=int, default=8)
@@ -95,6 +113,9 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
+    if args.cmd == "panel":
+        return _panel(args)
+
     from jstsp19_tpu.harness import EXPERIMENTS
     from jstsp19_tpu.harness.artifacts import save_result
 
@@ -116,6 +137,78 @@ def main(argv=None):
         res = EXPERIMENTS[name](**kwargs)
         path = save_result(res, args.out, plot=not args.no_plot)
         print(f"[{name}] wrote {path} ({res.seconds:.1f}s)")
+    return 0
+
+
+def _panel(args) -> int:
+    """Interactive parameter panel (the reference ``GUI/`` capability:
+    browse fields, edit values, launch, view results).  Prompts for each
+    PointConfig field with its default prefilled; ``--set field=value``
+    overrides; ``--batch`` skips prompting entirely (scriptable/testable).
+    """
+    import dataclasses
+
+    import numpy as np
+
+    from jstsp19_tpu.harness.pipeline import PointConfig
+    from jstsp19_tpu.harness.runner import run_point
+
+    overrides = {}
+    for kv in args.set:
+        k, _, v = kv.partition("=")
+        overrides[k.strip()] = v.strip()
+
+    values = {}
+    print("sweep-point configuration (enter to keep the default):")
+    for f in dataclasses.fields(PointConfig):
+        default = f.default
+        if f.name in overrides:
+            raw = overrides[f.name]
+        elif args.batch:
+            raw = ""
+        else:
+            try:
+                raw = input(f"  {f.name} [{default!r}]: ").strip()
+            except EOFError:
+                raw = ""
+        if not raw:
+            continue
+        if f.name == "methods":
+            values[f.name] = tuple(m.strip() for m in raw.split(",") if m.strip())
+        elif isinstance(default, bool):
+            values[f.name] = raw.lower() in ("1", "true", "yes", "y")
+        elif isinstance(default, int):
+            values[f.name] = int(raw)
+        elif isinstance(default, float):
+            values[f.name] = float(raw)
+        else:
+            values[f.name] = raw
+    pc = PointConfig(**values)
+    nv = float(10 ** (-args.snr_db / 10))
+    print(f"running n_mc={args.n_mc} @ {args.snr_db:+.1f} dB: {pc}")
+    out = run_point(pc, nv, args.n_mc)
+    for m in sorted(out):
+        e = np.asarray(out[m])
+        print(
+            f"  {m:16s} mean NMSE {e.mean():.5g}   "
+            f"[q5 {np.quantile(e, 0.05):.3g}, q95 {np.quantile(e, 0.95):.3g}]"
+        )
+    if args.out:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(6, 4))
+        for m in sorted(out):
+            ax.hist(np.log10(np.maximum(np.asarray(out[m]), 1e-12)),
+                    bins=24, alpha=0.5, label=m)
+        ax.set_xlabel("log10 NMSE")
+        ax.set_ylabel("realizations")
+        ax.legend()
+        fig.tight_layout()
+        fig.savefig(args.out, dpi=120)
+        print(f"wrote {args.out}")
     return 0
 
 

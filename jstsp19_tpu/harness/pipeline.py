@@ -31,6 +31,7 @@ from jstsp19_tpu.solvers import (
     ls_estimate,
     mc_svt,
     omp_mmv,
+    omp_td,
     proposed_admm,
     proposed_admm_angles,
     vamp_mmwave,
@@ -148,7 +149,7 @@ def realization_errors(
     out: Dict[str, jnp.ndarray] = {}
     ch, Psi, N, W = _system_realization(key, pc, noise_var, H_ext)
 
-    conventional = {"ls", "vamp", "omp_mmv"} & set(pc.methods)
+    conventional = {"ls", "vamp", "omp_mmv", "omp_td"} & set(pc.methods)
     if conventional:
         # Conventional branch under the fair training budget T_hbf
         # (`plot_errorVSsnr.m:73-78`).
@@ -179,6 +180,12 @@ def realization_errors(
             V = Y_c @ jnp.linalg.pinv(B_c)
             S_omp = omp_mmv(A_c, V, min(pc.num_nonzero, pc.Gr)).x
             out["omp_mmv"] = clamped_nmse(S_omp, ch.Zbar)
+        if "omp_td" in pc.methods:
+            # the figure legends' non-saturating "TD-OMP [11]": single OMP
+            # over the implicit kron dictionary with numOfnz atoms
+            k = min(pc.num_nonzero, pc.Gr * pc.L * pc.Gt)
+            S_td = omp_td(A_c, B_c, Y_c, k).x
+            out["omp_td"] = clamped_nmse(S_td, ch.Zbar)
 
     proposed_like = {"proposed", "proposed_angles", "svt", "tssr"} & set(pc.methods)
     if proposed_like:

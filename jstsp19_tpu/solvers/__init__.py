@@ -12,7 +12,13 @@ from jstsp19_tpu.solvers.admm import (  # noqa: F401
     admm_hyperparams,
 )
 from jstsp19_tpu.solvers.lsq import ls_estimate  # noqa: F401
-from jstsp19_tpu.solvers.omp import omp, omp_mmv, cosamp  # noqa: F401
+from jstsp19_tpu.solvers.omp import (  # noqa: F401
+    cosamp,
+    omp,
+    omp_gram,
+    omp_mmv,
+    omp_td,
+)
 from jstsp19_tpu.solvers.estim import (  # noqa: F401
     CAwgnPrior,
     SparsePrior,

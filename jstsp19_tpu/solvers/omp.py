@@ -34,16 +34,11 @@ class OmpResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("m",))
-def omp(A: jnp.ndarray, v: jnp.ndarray, m: int) -> OmpResult:
-    """Single-vector Orthogonal Matching Pursuit with target sparsity m.
-
-    Mirrors ``OMP.m:16-32`` (greedy argmax of |Aᴴr|, LS refit on the
-    selected atoms, residual update) with static shapes: the selected-atom
-    Gram is assembled by gather from the precomputed full Gram.
-    """
-    M, n = A.shape
-    AhA = A.conj().T @ A  # (n, n)
-    Ahv = A.conj().T @ v  # (n,)
+def omp_gram(AhA: jnp.ndarray, Ahv: jnp.ndarray, m: int) -> OmpResult:
+    """OMP core on a precomputed dictionary Gram ``AhA`` (n, n) and
+    correlation vector ``Ahv`` (n,) — the dictionary itself never appears,
+    so implicit (e.g. Kronecker) dictionaries plug in directly."""
+    n = AhA.shape[0]
 
     def body(t, carry):
         idx, coef = carry
@@ -63,10 +58,44 @@ def omp(A: jnp.ndarray, v: jnp.ndarray, m: int) -> OmpResult:
         return idx, coef
 
     idx0 = jnp.zeros((m,), jnp.int32)
-    coef0 = jnp.zeros((m,), A.dtype)
+    coef0 = jnp.zeros((m,), AhA.dtype)
     idx, coef = jax.lax.fori_loop(0, m, body, (idx0, coef0))
-    x = jnp.zeros((n,), A.dtype).at[idx].add(coef)
+    x = jnp.zeros((n,), AhA.dtype).at[idx].add(coef)
     return OmpResult(x=x, support=idx)
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def omp(A: jnp.ndarray, v: jnp.ndarray, m: int) -> OmpResult:
+    """Single-vector Orthogonal Matching Pursuit with target sparsity m.
+
+    Mirrors ``OMP.m:16-32`` (greedy argmax of |Aᴴr|, LS refit on the
+    selected atoms, residual update) with static shapes: the selected-atom
+    Gram is assembled by gather from the precomputed full Gram.
+    """
+    return omp_gram(A.conj().T @ A, A.conj().T @ v, m)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def omp_td(A: jnp.ndarray, B: jnp.ndarray, Y: jnp.ndarray, k: int) -> OmpResult:
+    """Time-domain OMP over the implicit Kronecker dictionary — the
+    "TD-OMP [11]" baseline of the reference's figure legends (Venugopal et
+    al., wideband TD channel estimation; the reference repo itself ships
+    only the saturating spx MMV-OMP, `plot_errorVSsnr.m:116-118`).
+
+    Model: vec(Y) = kron(Bᵀ, A)·vec(S) with S (Gr, K).  The atoms are
+    aᵢ·bⱼ outer products, so the dictionary Gram is
+    ``kron(AᴴA, conj(B·Bᴴ))`` (row-major S flattening) and the
+    correlations are ``vec(Aᴴ·Y·Bᴴ)`` — the kron is never materialized
+    beyond the (Gr·K)² Gram of the SMALL factor Grams.
+
+    Returns the (Gr, K) sparse estimate with exactly ≤k active entries.
+    """
+    Gr = A.shape[1]
+    K = B.shape[0]
+    G = jnp.kron(A.conj().T @ A, jnp.conj(B @ B.conj().T))  # (Gr·K, Gr·K)
+    rhs = (A.conj().T @ Y @ B.conj().T).reshape(-1)  # (Gr·K,)
+    res = omp_gram(G, rhs, k)
+    return OmpResult(x=res.x.reshape(Gr, K), support=res.support)
 
 
 @functools.partial(jax.jit, static_argnames=("m",))

@@ -57,3 +57,22 @@ def test_cli_list():
     with redirect_stdout(out):
         main(["list"])
     assert "error_vs_snr" in out.getvalue()
+
+
+def test_panel_batch_mode(tmp_path):
+    """`python -m jstsp19_tpu panel --batch --set ...` — the interactive
+    parameter-panel (GUI/ analog) in its scriptable mode."""
+    from jstsp19_tpu.__main__ import main
+
+    png = str(tmp_path / "panel.png")
+    out = io.StringIO()
+    with redirect_stdout(out):
+        rc = main([
+            "panel", "--cpu", "--batch", "--n-mc", "2",
+            "--set", "methods=proposed", "--set", "Imax=10",
+            "--set", "T=5", "--out", png,
+        ])
+    assert rc == 0
+    text = out.getvalue()
+    assert "proposed" in text and "mean NMSE" in text
+    assert os.path.exists(png)

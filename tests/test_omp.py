@@ -77,3 +77,31 @@ def test_omp_jit_vmap(key):
     out = jax.vmap(lambda v: omp(A, v, 5).x)(ys)
     assert out.shape == (2, 128)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out[1]), atol=1e-6)
+
+
+def test_omp_td_equals_explicit_kron_omp(key):
+    """omp_td (implicit kron Gram) == single OMP on the materialized
+    kron(B^T, A) dictionary, atom for atom."""
+    import jax
+    import jax.numpy as jnp
+
+    from jstsp19_tpu.solvers import omp, omp_td
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    M, Gr, K, T = 12, 8, 6, 10
+    A = (jax.random.normal(k1, (M, Gr)) + 1j * jax.random.normal(k1, (M, Gr))).astype(jnp.complex64)
+    B = (jax.random.normal(k2, (K, T)) + 1j * jax.random.normal(k2, (K, T))).astype(jnp.complex64)
+    S = jnp.zeros((Gr, K), jnp.complex64).at[1, 2].set(2.0).at[5, 0].set(-1.5j)
+    Y = A @ S @ B
+    res = omp_td(A, B, Y, 4)
+    # materialized dictionary: vec(Y) row-major = Phi_full @ vec(S) with
+    # Phi_full[(m,t),(i,j)] = A[m,i]·B[j,t]
+    Phi_full = jnp.einsum("mi,jt->mtij", A, B).reshape(M * T, Gr * K)
+    ref = omp(Phi_full, Y.reshape(-1), 4)
+    np.testing.assert_allclose(
+        np.asarray(res.x.reshape(-1)), np.asarray(ref.x), atol=1e-4
+    )
+    # exact recovery of the planted support
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.asarray(S), atol=1e-4
+    )

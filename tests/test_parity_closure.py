@@ -53,6 +53,15 @@ def test_training_dbf_identity_and_value():
     assert abs(np.log10(m) - np.log10(2.56e-3)) < 0.35, m
 
 
+def test_td_omp_floor_reproduced():
+    """fig(2) TD-OMP @ +15 dB = 0.0267 with its characteristic
+    model-mismatch floor; omp_td (numOfnz=100 atoms over the kron
+    dictionary) must land within 0.2 decades."""
+    out = _run(10 ** (-1.5), T=70, ratio=0.75, Imax=100, quirks=True)
+    m = out["omp_td"].mean()
+    assert abs(np.log10(m) - np.log10(0.0267)) < 0.2, m
+
+
 def test_spatialpaths_fig_reproduced():
     """errorVSspatialpaths.fig: Proposed ~0.0016, TSSR ~0.115 at
     rays=3 (x=6); the quirks/0.75/T=70 frontend at −5 dB matches both."""

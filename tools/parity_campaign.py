@@ -72,6 +72,7 @@ def _closure_realization(key, noise_var, *, T, ratio, Imax, quirks,
         ls_estimate,
         mc_svt,
         omp_mmv,
+        omp_td,
         proposed_admm,
         vamp_mmwave,
     )
@@ -99,6 +100,8 @@ def _closure_realization(key, noise_var, *, T, ratio, Imax, quirks,
     out["vamp"] = clamped_nmse(S_vamp, ch.Zbar)
     V = Yc @ jnp.linalg.pinv(B)
     out["omp_mmv"] = clamped_nmse(omp_mmv(A, V, Nr).x, ch.Zbar)
+    # the fig legends' non-saturating TD-OMP [11], numOfnz=100 atoms
+    out["omp_td"] = clamped_nmse(omp_td(A, B, Yc, 100).x, ch.Zbar)
     Y_svt = mc_svt(Yp, Omega, Imax, tau_X, 0.1)
     Vs = Y_svt @ jnp.linalg.pinv(B)
     out["tssr"] = clamped_nmse(omp_mmv(A, Vs, Nr).x, ch.Zbar)
