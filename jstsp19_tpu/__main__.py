@@ -67,6 +67,12 @@ def main(argv=None):
         default=None,
         help="NYU-Wireless channel .mat for error_vs_snr_nyuwireless",
     )
+    runp.add_argument(
+        "--methods",
+        default=None,
+        help="comma-separated estimator subset (e.g. proposed,vamp,omp_td) "
+        "for recipes that accept it",
+    )
     args = parser.parse_args(argv)
 
     if args.cmd == "list":
@@ -134,6 +140,18 @@ def main(argv=None):
         kwargs = {"n_mc": args.n_mc, "seed": args.seed}
         if args.mat_path and name == "error_vs_snr_nyuwireless":
             kwargs["mat_path"] = args.mat_path
+        if args.methods:
+            import inspect
+
+            if "methods" in inspect.signature(EXPERIMENTS[name]).parameters:
+                kwargs["methods"] = tuple(
+                    m.strip() for m in args.methods.split(",") if m.strip()
+                )
+            else:
+                print(
+                    f"[{name}] --methods not supported by this recipe; ignored",
+                    file=sys.stderr,
+                )
         res = EXPERIMENTS[name](**kwargs)
         path = save_result(res, args.out, plot=not args.no_plot)
         print(f"[{name}] wrote {path} ({res.seconds:.1f}s)")
