@@ -101,9 +101,12 @@ def proposed_admm(
     # one warm-started parallel-ordering round/iter is NMSE-identical to
     # eigh at the canonical config and 2.3x faster on-chip (PERF.md)
     track_rounds: int = 1,
-    # matmul precision of the tracked eigenbasis chain: "highest" (6-pass
-    # bf16 = exact f32) or "high" (3-pass, ~2x faster on the MXU; rel err
-    # ~5e-7/op).  Single-pass "default" destroys the basis (PERF.md).
+    # matmul precision of the tracked chain's two matmuls (P = UᴴW and the
+    # reconstruction): "highest" (6-pass bf16 = exact f32), "high" (3-pass;
+    # measured NMSE-equal to eigh on-chip — the harness default), or
+    # "default" (1-pass; +4.6% throughput, same canonical-config NMSE —
+    # PERF.md r3).  The rotations themselves are exact VPU ops, so no
+    # precision setting can corrupt the carried basis U anymore.
     track_precision: str = "highest",
 ) -> AdmmResult:
     """Joint matrix-completion + beamspace-sparse ADMM.
@@ -252,9 +255,7 @@ def proposed_admm(
             return U, P
 
         def _tracked_svt(W, tau, U, i):
-            # Elevated-precision matmuls: the TPU's single-pass bf16 default
-            # accumulates across the U chain and destroys the basis.  The
-            # chain is restructured around P = Uᴴ·W: the rotated Gram
+            # The chain is restructured around P = Uᴴ·W: the rotated Gram
             # T = P·Pᴴ (== Uᴴ(WWᴴ)U) is consumed entirely through VPU row
             # reductions of P, the Jacobi round updates P by the
             # elementwise left-rotation (P' = GᴴP since U' = U·G), the
