@@ -113,7 +113,10 @@ def error_vs_framelength(n_mc=8, seed=0, mesh=None, **kw):
 @_register("rate_vs_framelength")
 def rate_vs_framelength(n_mc=8, seed=0, mesh=None, **kw):
     """``plot_rateVSframelength.m``: T ∈ {5,10,15}, Nt=8, SNR −15 dB,
-    FFT combiner (``plot_rateVSframelength.m:70,116``)."""
+    FFT combiner (``plot_rateVSframelength.m:70,116``).  Note the shipped
+    script computes and plots NMSE like the framelength driver — its
+    y-axis label "ASE (bits/sec)" (``:197``) is a mislabel, reproduced
+    here as NMSE curves."""
     return run_sweep(
         "rate_vs_framelength", "T", [5, 10, 15],
         point_fn=lambda T: PointConfig(

@@ -44,9 +44,17 @@ def vamp_slm(prior, y, op, gamw, nit: int = 50, damp: float = 0.9) -> VampSlmRes
 
     r1 = jnp.zeros(op.in_shape, y.dtype)
     gam1 = jnp.asarray(GAM_MIN, jnp.float32)
+    # keep-best tracking (see solvers/vamp.py): the mean iteration can
+    # destabilize after settling; return the iterate with the smallest
+    # relative step instead of the last
+    x_prev = jnp.zeros(op.in_shape, y.dtype)
+    best_x = jnp.zeros(op.in_shape, y.dtype)
+    best_r1 = r1
+    best_gam1 = gam1
+    best_rc = jnp.asarray(jnp.inf, jnp.float32)
 
-    def body(carry, _):
-        r1, gam1 = carry
+    def body(carry, i):
+        r1, gam1, x_prev, best_x, best_r1, best_gam1, best_rc = carry
         x1, xvar1 = prior.estim(r1, 1.0 / gam1)
         eta1 = 1.0 / jnp.maximum(jnp.mean(xvar1), 1e-30)
         gam2 = jnp.clip(eta1 - gam1, 1e-3 * eta1, GAM_MAX)
@@ -64,11 +72,26 @@ def vamp_slm(prior, y, op, gamw, nit: int = 50, damp: float = 0.9) -> VampSlmRes
         cap = 1e6
         mx = jnp.max(jnp.abs(r1n))
         r1n = r1n * jnp.where(mx > cap, cap / mx, 1.0)
-        return (r1n, gam1n), jnp.mean(xvar1)
+        rc = jnp.sum(jnp.abs(x1 - x_prev) ** 2) / jnp.maximum(
+            jnp.sum(jnp.abs(x1) ** 2), jnp.finfo(jnp.float32).tiny
+        )
+        rc = jnp.where(i == 0, jnp.asarray(jnp.inf, jnp.float32), rc.astype(jnp.float32))
+        better = rc < best_rc
+        return (
+            r1n, gam1n, x1,
+            jnp.where(better, x1, best_x),
+            jnp.where(better, r1, best_r1),
+            jnp.where(better, gam1, best_gam1),
+            jnp.minimum(rc, best_rc),
+        ), jnp.mean(xvar1)
 
-    (r1, gam1), mse = jax.lax.scan(body, (r1, gam1), None, length=nit)
-    x, _ = prior.estim(r1, 1.0 / gam1)
-    return VampSlmResult(x=x, gam1=gam1, mse_track=mse, r1=r1)
+    carry, mse = jax.lax.scan(
+        body,
+        (r1, gam1, x_prev, best_x, best_r1, best_gam1, best_rc),
+        jnp.arange(nit),
+    )
+    _, _, _, best_x, best_r1, best_gam1, _ = carry
+    return VampSlmResult(x=best_x, gam1=best_gam1, mse_track=mse, r1=best_r1)
 
 
 def vamp_slm_se(
