@@ -126,3 +126,33 @@ def test_mc_likelihood_mse_matches_closed_form_awgn(key):
         v = 1.0 / (1.0 / wvar + 1.0 / pvar)
         np.testing.assert_allclose(float(zvar_mc), v, rtol=0.05)
         np.testing.assert_allclose(float(mse_mc), v, rtol=0.15)
+
+
+def test_keep_best_survives_post_convergence_instability(key):
+    """The measured failure mode behind VERDICT r2 Weak #5: on full-rank
+    high-SNR problems the VAMP mean iteration reaches its fixed point and
+    then diverges (spectral radius > 1 around it).  The keep-best iterate
+    must return the settled estimate, not the diverged tail."""
+    Gr, K, N = 32, 16, 24
+    beta, wvar = 0.15, 1e-3
+    kA, kx, ka, kn = jax.random.split(jax.random.key(1), 4)
+    A = crandn(kA, (N, Gr)) / np.sqrt(N)
+    B = jnp.eye(K, dtype=jnp.complex64)
+    op = KronDictOp(A, B)
+    slab = 1.0 / beta
+    act = jax.random.bernoulli(ka, beta, (Gr, K))
+    x0 = jnp.where(act, crandn(kx, (Gr, K), var=slab), 0.0)
+    y = op.mv(x0) + crandn(kn, (N, K), var=wvar)
+    prior = SparsePrior(
+        CAwgnPrior(jnp.asarray(0.0 + 0.0j), jnp.asarray(slab)), jnp.asarray(beta)
+    )
+    lik = CAwgnLikelihood(y, jnp.asarray(wvar))
+    res = vamp_glm(prior, lik, op, nit=200, damp=0.9, track_x0=x0)
+    tr = np.asarray(res.mse_track)
+    x2 = float(jnp.mean(jnp.abs(x0) ** 2))
+    # the trajectory itself diverges after settling (the instability is real)...
+    assert tr[-1] > 10 * tr.min()
+    # ...but the returned estimate is the settled one
+    final_mse = float(jnp.mean(jnp.abs(res.x - x0) ** 2))
+    assert final_mse < 3 * tr.min()
+    assert final_mse / x2 < 0.01
