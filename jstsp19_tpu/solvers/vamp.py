@@ -220,7 +220,9 @@ def vamp_glm(
             jnp.sum(jnp.abs(x1) ** 2), jnp.finfo(rdt).tiny
         )
         rc = jnp.where(first, jnp.asarray(jnp.inf, rdt), rc.astype(rdt))
-        better = rc < c.best_rc
+        # `first` seeds the best slot unconditionally (otherwise nit=1
+        # would return the zero initialization)
+        better = (rc < c.best_rc) | first
         return (
             Carry(
                 r1=r1n, p1=p1n, gam1x=gam1xn, gam1z=gam1zn, x1=x1, z1=z1,

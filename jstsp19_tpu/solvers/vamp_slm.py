@@ -76,7 +76,9 @@ def vamp_slm(prior, y, op, gamw, nit: int = 50, damp: float = 0.9) -> VampSlmRes
             jnp.sum(jnp.abs(x1) ** 2), jnp.finfo(jnp.float32).tiny
         )
         rc = jnp.where(i == 0, jnp.asarray(jnp.inf, jnp.float32), rc.astype(jnp.float32))
-        better = rc < best_rc
+        # i==0 seeds the best slot unconditionally (otherwise nit=1 would
+        # return the zero initialization)
+        better = (rc < best_rc) | (i == 0)
         return (
             r1n, gam1n, x1,
             jnp.where(better, x1, best_x),
@@ -90,8 +92,20 @@ def vamp_slm(prior, y, op, gamw, nit: int = 50, damp: float = 0.9) -> VampSlmRes
         (r1, gam1, x_prev, best_x, best_r1, best_gam1, best_rc),
         jnp.arange(nit),
     )
-    _, _, _, best_x, best_r1, best_gam1, _ = carry
-    return VampSlmResult(x=best_x, gam1=best_gam1, mse_track=mse, r1=best_r1)
+    r1_f, gam1_f, x_last, best_x, best_r1, best_gam1, best_rc = carry
+    # final candidate: one more denoise of the last (updated) message —
+    # the pre-keep-best return value; it wins unless the tail diverged
+    x_f, _ = prior.estim(r1_f, 1.0 / gam1_f)
+    rc_f = jnp.sum(jnp.abs(x_f - x_last) ** 2) / jnp.maximum(
+        jnp.sum(jnp.abs(x_f) ** 2), jnp.finfo(jnp.float32).tiny
+    )
+    take_f = rc_f <= best_rc
+    return VampSlmResult(
+        x=jnp.where(take_f, x_f, best_x),
+        gam1=jnp.where(take_f, gam1_f, best_gam1),
+        mse_track=mse,
+        r1=jnp.where(take_f, r1_f, best_r1),
+    )
 
 
 def vamp_slm_se(
