@@ -32,12 +32,16 @@ def _build() -> Optional[str]:
         os.path.getmtime(so_path) >= os.path.getmtime(s) for s in sources
     ):
         return so_path
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", so_path] + sources
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-    except (subprocess.SubprocessError, FileNotFoundError):
-        return None
-    return so_path
+    base = ["g++", "-O3", "-shared", "-fPIC", "-o", so_path] + sources
+    # prefer host tuning, but fall back to generic codegen — some hosts
+    # (cross-mounted toolchains, qemu) reject -march=native
+    for cmd in (base[:2] + ["-march=native"] + base[2:], base):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            return so_path
+        except (subprocess.SubprocessError, FileNotFoundError):
+            continue
+    return None
 
 
 def _lib() -> Optional[ctypes.CDLL]:
