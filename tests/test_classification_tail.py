@@ -151,3 +151,16 @@ def test_robit_gamp_end_to_end(key):
         / jnp.maximum(jnp.linalg.norm(res.x) * jnp.linalg.norm(x0), 1e-12)
     )
     assert corr > 0.8
+
+
+def test_robust_probit_pflip_zero_equals_probit():
+    """p_flip = 0 must reduce exactly to the clean probit posterior."""
+    y = jnp.asarray([0.0, 1.0, 1.0, 0.0])
+    phat = jnp.asarray([-1.0, 0.3, 2.0, 0.1])
+    pvar = jnp.asarray([0.5, 1.0, 0.2, 2.0])
+    probit = ProbitLikelihood(y, jnp.asarray(0.04))
+    robust = RobustProbitLikelihood(probit, jnp.asarray(0.0))
+    z1, v1 = probit.estim(phat, pvar)
+    z2, v2 = robust.estim(phat, pvar)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z1), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=1e-4, atol=1e-6)
