@@ -39,7 +39,15 @@ from jstsp19_tpu.core import prng
 from jstsp19_tpu.harness.pipeline import PointConfig, realization_errors
 
 MATLAB_EST_PER_SEC_ESTIMATE = 1.0  # see module docstring
-REF_PROPOSED_NMSE_0DB = 0.12998  # errorVSsnr_angles.fig, Proposed @ 0 dB
+# Ensemble-matched references for the printed NMSE sanity line: the bench
+# batch runs the PAPER-MODEL ensemble (channel_quirks=False), whose n_mc=128
+# mean at 0 dB is 0.238 (results/error_vs_snr.json); the committed reference
+# fig is a SINGLE DRAW from the quirks ensemble (0.130), whose n_mc=64 mean
+# is 0.112 (results/error_vs_snr_quirks.json) — do not compare across
+# ensembles (VERDICT r3 weak #6).
+REF_PAPER_MODEL_MEAN_0DB = 0.238   # same ensemble as this bench
+REF_QUIRKS_MEAN_0DB = 0.112        # quirks-ensemble mean
+REF_QUIRKS_FIG_DRAW_0DB = 0.12998  # errorVSsnr_angles.fig single draw
 
 
 def main():
@@ -117,8 +125,11 @@ def main():
     print(
         f"[bench] device={jax.devices()[0].device_kind} batch={batch} "
         f"first(incl-compile)={compile_and_first:.2f}s best={best:.3f}s "
-        f"NMSE@0dB={mean_nmse:.4f} (committed ref fig: "
-        f"{REF_PROPOSED_NMSE_0DB:.4f}, single realization)",
+        f"NMSE@0dB={mean_nmse:.4f} [paper-model ensemble batch mean; "
+        f"same-ensemble n_mc=128 mean: {REF_PAPER_MODEL_MEAN_0DB:.3f} — "
+        f"quirks-ensemble values ({REF_QUIRKS_MEAN_0DB:.3f} mean / "
+        f"{REF_QUIRKS_FIG_DRAW_0DB:.3f} committed-fig draw) are NOT "
+        f"comparable to this number]",
         file=sys.stderr,
     )
     print(

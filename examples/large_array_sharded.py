@@ -21,8 +21,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-if "--cpu" in sys.argv or True:  # virtual-mesh demo is CPU-targeted
-    jax.config.update("jax_platforms", "cpu")
+# The virtual 8-device mesh only exists on the CPU platform: this demo is
+# CPU-only regardless of flags (a single real TPU chip cannot host it).
+jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 import numpy as np

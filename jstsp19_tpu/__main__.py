@@ -110,6 +110,10 @@ def main(argv=None):
                   file=sys.stderr)
             return 1
         cmd = [sys.executable, os.path.join(ex_dir, f"{args.name}.py")]
+        if args.tpu and args.name == "large_array_sharded":
+            # virtual 8-device mesh exists only on the CPU platform
+            print("note: large_array_sharded is CPU-only (virtual mesh); "
+                  "ignoring --tpu", file=sys.stderr)
         if not args.tpu:
             cmd.append("--cpu")
         return subprocess.run(cmd).returncode

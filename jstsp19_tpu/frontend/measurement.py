@@ -84,7 +84,7 @@ def comm_system_training(
     T: int,
     noise_var,
     sub_sampling_ratio: float,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, int]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, int, jnp.ndarray]:
     """The ``wideband_hybBF_comm_system_training.m`` wrapper: Gaussian
     Toeplitz training, FFT combiner over all Nr outputs, random spatial
     sampling at rate ``sub_sampling_ratio``.

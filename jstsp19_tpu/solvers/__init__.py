@@ -42,6 +42,7 @@ from jstsp19_tpu.solvers.estim import (  # noqa: F401
     PoissonLikelihood,
     QuantizedLikelihood,
     OutlierLikelihood,
+    AwbgnLikelihood,
     LaplaceLikelihood,
     MagnitudeLikelihood,
     DiracPrior,

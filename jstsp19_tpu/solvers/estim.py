@@ -24,6 +24,7 @@ Implemented (★ = on the jstsp19 experiment path):
     PoissonLikelihood — count channel                    (PoissonEstim.m)
     QuantizedLikelihood — few-bit-ADC interval channel
     OutlierLikelihood — 2-comp Gaussian-mixture noise    (GaussMixEstimOut.m)
+    AwbgnLikelihood   — delta-spike + Gaussian noise      (AwbgnEstimOut.m)
     LaplaceLikelihood — Laplacian-noise channel          (LaplaceEstimOut.m)
     MagnitudeLikelihood — magnitude-only (Rician) channel (ncCAwgnEstimOut.m,
                           the PR-GAMP phase-retrieval observation)
@@ -485,6 +486,66 @@ class OutlierLikelihood:
 
 
 _register(OutlierLikelihood, ("y", "wvar", "wvar_out", "lam"))
+
+
+@dataclasses.dataclass(frozen=True)
+class AwbgnLikelihood:
+    """Additive white *Bernoulli*-Gaussian noise (``main/AwbgnEstimOut.m``):
+
+        p(y|z) = (1−λ)·δ(z−y) + λ·N(z; y, wvar)
+
+    i.e. each measurement is exactly noiseless w.p. (1−λ) and Gaussian-noisy
+    w.p. λ — the delta-spike/impulsive observation channel.  Unlike
+    :class:`OutlierLikelihood` (two *Gaussian* components) the clean
+    component here is a point mass, so the posterior of z ~ N(phat, pvar)
+    is a mixture of δ(z−y) and the usual AWGN Gaussian posterior.
+
+    Responsibilities (``AwbgnEstimOut.m:60-72``): the clean component's
+    marginal evidence is N(y; phat, pvar), the noisy one's
+    N(y; phat, pvar+wvar); posterior moments follow by mixture algebra
+    (``AwbgnEstimOut.m:74-84``).  Real-valued (the reference errors on
+    complex y).
+
+    Note: with small λ most measurements are exactly noiseless, so posterior
+    variances collapse toward 0 — in f32 GAMP this wants a precision floor
+    (``GampOptions(pvar_min=1e-6)``, the reference's GampOpt ``pvarMin``) or
+    a damped step for robust convergence (see
+    ``tests/test_estim_round4.py::test_awbgn_gamp_impulsive_recovery``).
+    """
+
+    y: jnp.ndarray
+    wvar: jnp.ndarray
+    lam: jnp.ndarray = 0.1
+
+    def estim(self, phat, pvar):
+        d2 = (phat - self.y) ** 2
+        loglike0 = -0.5 * (jnp.log(2 * jnp.pi) + jnp.log(pvar) + d2 / pvar)
+        v1 = pvar + self.wvar
+        loglike1 = -0.5 * (jnp.log(2 * jnp.pi) + jnp.log(v1) + d2 / v1)
+        exparg = jnp.clip(
+            loglike0 - loglike1 + jnp.log1p(-self.lam) - jnp.log(self.lam),
+            -_MAXARG, _MAXARG,
+        )
+        py1 = 1.0 / (1.0 + jnp.exp(exparg))  # Pr{Z ≠ y | y}
+        py0 = 1.0 - py1
+        nu = self.wvar * pvar / v1
+        gamma = (self.wvar * phat + self.y * pvar) / v1
+        zhat = py1 * gamma + py0 * self.y
+        ez2 = py1 * (gamma**2 + nu) + py0 * self.y**2
+        return zhat, jnp.maximum(ez2 - zhat**2, 1e-14)
+
+    def loglike(self, zhat, zvar):
+        """Lower-bound output cost of the reference (``AwbgnEstimOut.m:96-103``):
+        treat the channel as AWGN(wvar) scaled by λ."""
+        wv = jnp.maximum(self.wvar, 1e-20)
+        return jnp.sum(
+            -0.5 * (jnp.log(2 * jnp.pi) + jnp.log(wv)
+                    + ((self.y - zhat) ** 2 + zvar) / wv)
+            + jnp.log(self.lam)
+        )
+
+
+_register(AwbgnLikelihood, ("y", "wvar", "lam"))
 
 
 @dataclasses.dataclass(frozen=True)

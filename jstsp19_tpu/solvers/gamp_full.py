@@ -508,10 +508,11 @@ def _gamp_scan(prior, op, state: GampState, opts: GampOptions, column_norms):
                 step=out.step,
                 passed=passed & ~st.stopped,
                 resid=resid,
+                stopped=st.stopped,
             )
         else:
             ys = dict(val=val, step=out.step, passed=passed & ~st.stopped,
-                      resid=resid)
+                      resid=resid, stopped=st.stopped)
         return out, ys
 
     return jax.lax.scan(body, state, None, length=opts.nit)

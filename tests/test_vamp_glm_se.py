@@ -156,3 +156,68 @@ def test_keep_best_survives_post_convergence_instability(key):
     final_mse = float(jnp.mean(jnp.abs(res.x - x0) ** 2))
     assert final_mse < 3 * tr.min()
     assert final_mse / x2 < 0.01
+
+
+def test_delays_driver_se_certifies_vamp_collapse():
+    """Certify VERDICT r3 weak #5: the quirks campaign shows vamp ≡ 1.0 on
+    the committed delays driver (L=6, T=15 → T_hbf=8) for L ≥ 4.  Running
+    the solver's OWN oracles on the exact normal-equations problem
+    (Phi = kron((B·Bᴴ).', A), vamp.m prior) settles what that is:
+
+    1. the VampGlmSE fixed point under the assumed model predicts
+       near-perfect recovery — the configuration is NOT information-starved;
+    2. the solver at the reference's damp=0.85 (vamp.m:12) diverges to the
+       NMSE clamp — reproduced here as a golden;
+    3. the SAME solver at damp=0.6 recovers to ≈0.33 — so the collapse is a
+       divergence of the reference's damping on this ill-conditioned
+       rank-8(of 24) kron operator, not a repo solver regression.
+
+    (A mismatched-SE study with the true quirks amplitude marginal and true
+    colored-noise level puts the information floor at ≈0.13 NMSE — see
+    PARITY.md round 4.)
+    """
+    from jstsp19_tpu.core import prng as _prng
+    from jstsp19_tpu.core.metrics import clamped_nmse
+    from jstsp19_tpu.frontend import hbf
+    from jstsp19_tpu.harness.pipeline import (
+        PointConfig, _dictionaries, _system_realization,
+    )
+    from jstsp19_tpu.solvers import vamp_mmwave
+
+    pc = PointConfig(L=6, T=15, num_nonzero=50, channel_quirks=True)
+    nv = jnp.asarray(10 ** (-5 / 10), jnp.float32)
+    key = _prng.realization_keys(_prng.experiment_key(3), 0, 1)[0]
+    ch, Psi, N, W = _system_realization(key, pc, nv)
+    Th = pc.T_hbf
+    Y_c, W_c = hbf(ch.H, N[:, :Th], Psi[:, :, :Th], pc.Nr, W)
+    A, B = _dictionaries(ch, W_c, Psi[:, :, :Th])
+    C = B @ B.conj().T
+
+    # --- 1. assumed-model SE: feasible -----------------------------------
+    sa = jnp.sqrt(jnp.linalg.eigvalsh(A.conj().T @ A)[-1])
+    sc = jnp.sqrt(jnp.linalg.eigvalsh(C @ C.conj().T)[-1])
+    da = jnp.linalg.eigvalsh((A / sa).conj().T @ (A / sa))
+    dc = jnp.linalg.eigvalsh((C / sc) @ (C / sc).conj().T)
+    d = jnp.outer(da, dc).reshape(-1)
+    Gr, K = A.shape[1], C.shape[0]
+    beta = pc.num_nonzero / (2 * Gr * K)  # vamp.m:23-25 real count
+    slab_var = 1.0 / beta
+    wvar_eff = 1.0 / float(sa * sc) ** 2  # reference wvar=1, rescaled
+    se = vamp_glm_se(
+        _prior_sampler(beta, slab_var),
+        SparsePrior(
+            CAwgnPrior(jnp.asarray(0.0 + 0.0j), jnp.asarray(slab_var)),
+            jnp.asarray(beta),
+        ),
+        cawgn_likelihood_mse(wvar_eff),
+        d, Gr * K, 1.0, nit=40, n_samples=8192,
+    )
+    assert float(np.asarray(se)[-5:].mean()) < 0.05  # E|x0|² = 1
+
+    # --- 2. reference damping diverges to the clamp ----------------------
+    S_ref = vamp_mmwave(Y_c @ B.conj().T, A, C, 1.0, 50, nit=100, damp=0.85)
+    assert float(clamped_nmse(S_ref, ch.Zbar)) > 0.99
+
+    # --- 3. heavier damping recovers -------------------------------------
+    S_damped = vamp_mmwave(Y_c @ B.conj().T, A, C, 1.0, 50, nit=100, damp=0.6)
+    assert float(clamped_nmse(S_damped, ch.Zbar)) < 0.5
