@@ -56,6 +56,20 @@ def spectral_efficiency(Y: jnp.ndarray, W: jnp.ndarray, noise_var, Nt: int) -> j
     return jnp.real(logdet) / jnp.log(2.0)
 
 
+def achievable_rate(Zbar: jnp.ndarray, nmse_val, noise_var, Nr: int) -> jnp.ndarray:
+    """Achievable-rate proxy of the frame-length rate driver:
+
+    ``log2 real(det(I + (1/Nr)·Zbar·Zbarᴴ / (σ² + NMSE)))``
+    (``plot_rateVSframelength.m:81,113,130,135``) — a deterministic function
+    of the *unclamped* spectral NMSE, the true beamspace channel and σ².
+    Computed via the Gram eigenvalues for numerical stability.
+    """
+    lam = jnp.maximum(
+        jnp.linalg.eigvalsh(Zbar @ jnp.swapaxes(Zbar.conj(), -2, -1)).real, 0.0
+    )
+    return jnp.sum(jnp.log2(1.0 + lam / (Nr * (noise_var + nmse_val))), axis=-1)
+
+
 # Power model of plot_ee.m:69-77 (Watts).
 P_LNA = 0.02
 P_PS = 0.015

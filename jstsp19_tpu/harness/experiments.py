@@ -62,6 +62,20 @@ def _nv(snr_db) -> float:
     return float(10 ** (-snr_db / 10))
 
 
+# The fixed-SNR sweep drivers hard-code their noise variance as a literal
+# constant, e.g. ``square_noise_variance = 10^(-5/10)`` (plot_errorVSpaths.m:24,
+# plot_errorVSdelays.m:22, plot_errorVSnrf.m:23) or ``10^(-15/10)``
+# (plot_errorVSframelength.m:21, plot_errorVSnt.m:22,
+# plot_rateVSframelength.m:21).  Under the SNR convention of the canonical
+# driver (``square_noise_variance = 10^(-SNR/10)``, plot_errorVSsnr.m:49) these
+# literals sit at **+5 dB / +15 dB** — the scripts' own "−5 dB"/"−15 dB"
+# labels are on the wrong side of the convention.  Parity follows the literal
+# constants (they generated the committed artifacts): ``_nv(5)`` = 10^(-5/10),
+# ``_nv(15)`` = 10^(-15/10).
+_NV_PATHS_DELAYS_NRF = _nv(5)
+_NV_FRAMELEN_NT_RATE = _nv(15)
+
+
 # ---------------------------------------------------------------------------
 # Standard NMSE sweeps (the plot_errorVS*.m family)
 # ---------------------------------------------------------------------------
@@ -98,52 +112,84 @@ def error_vs_snr_quirks(n_mc=64, seed=0, mesh=None, methods=None, **kw):
 
 @_register("error_vs_framelength")
 def error_vs_framelength(n_mc=8, seed=0, mesh=None, **kw):
-    """``plot_errorVSframelength.m``: T ∈ {5,15,25,35}, Nt=8, SNR −15 dB,
-    FFT combiner, numOfnz=50."""
+    """``plot_errorVSframelength.m``: T ∈ {5,15,25,35}, Nt=8, FFT combiner,
+    numOfnz=50, noise variance 10^(-15/10) (``plot_errorVSframelength.m:21``
+    — +15 dB under the errorVSsnr convention, see ``_NV_FRAMELEN_NT_RATE``)."""
     return run_sweep(
         "error_vs_framelength", "T", [5, 15, 25, 35],
         point_fn=lambda T: PointConfig(
             Nt=8, Gt=8, T=T, num_nonzero=50, beamformer="fft",
             methods=("ls", "vamp", "omp_mmv", "proposed", "proposed_angles"), **kw,
         ),
-        noise_fn=lambda T: _nv(-15), n_mc=n_mc, seed=seed, mesh=mesh,
+        noise_fn=lambda T: _NV_FRAMELEN_NT_RATE, n_mc=n_mc, seed=seed, mesh=mesh,
     )
 
 
 @_register("rate_vs_framelength")
 def rate_vs_framelength(n_mc=8, seed=0, mesh=None, **kw):
-    """``plot_rateVSframelength.m``: T ∈ {5,10,15}, Nt=8, SNR −15 dB,
-    FFT combiner (``plot_rateVSframelength.m:70,116``).  Note the shipped
-    script computes and plots NMSE like the framelength driver — its
-    y-axis label "ASE (bits/sec)" (``:197``) is a mislabel, reproduced
-    here as NMSE curves."""
-    return run_sweep(
-        "rate_vs_framelength", "T", [5, 10, 15],
-        point_fn=lambda T: PointConfig(
+    """``plot_rateVSframelength.m``: achievable rate (ASE, bits/s/Hz) vs
+    T ∈ {5,10,15}; Nt=8, FFT combiner, numOfnz=50, noise variance
+    10^(-15/10) (``plot_rateVSframelength.m:20-23``).
+
+    Per realization the reference computes, for every active method,
+    ``log2 real(det(I + (1/Nr)·Zbar·Zbarᴴ/(σ² + NMSE)))`` with the raw
+    (unclamped) spectral NMSE (``plot_rateVSframelength.m:81,113,130,135``)
+    — a deterministic function of each method's NMSE, the true beamspace
+    channel and σ² (:func:`jstsp19_tpu.core.metrics.achievable_rate`).
+    """
+    from jstsp19_tpu.core.metrics import achievable_rate
+    from jstsp19_tpu.harness.pipeline import realization_errors as _re
+
+    methods = ("ls", "omp_mmv", "proposed", "proposed_angles")
+    nv = _NV_FRAMELEN_NT_RATE
+    Nr = 32
+    t0 = time.time()
+    curves: Dict[str, list] = {}
+    T_values = [5, 10, 15]
+    for i, T in enumerate(T_values):
+        pc = PointConfig(
             Nt=8, Gt=8, T=T, num_nonzero=50, beamformer="fft",
-            methods=("ls", "vamp", "omp_mmv", "proposed", "proposed_angles"), **kw,
-        ),
-        noise_fn=lambda T: _nv(-15), n_mc=n_mc, seed=seed, mesh=mesh,
+            methods=methods, **kw,
+        )
+
+        def realization(key, noise_var, pc=pc):
+            out = _re(key, pc, noise_var, clamp=False, with_zbar=True)
+            Zbar = out.pop("Zbar")
+            return {
+                m: achievable_rate(Zbar, e, noise_var, Nr)
+                for m, e in out.items()
+            }
+
+        run = jax.jit(jax.vmap(realization, in_axes=(0, None)))
+        keys = prng.realization_keys(prng.experiment_key(seed), i, n_mc)
+        out = run(keys, jnp.asarray(nv, jnp.float32))
+        for m, v in out.items():
+            curves.setdefault(m, []).append(float(np.mean(np.asarray(v))))
+    return SweepResult(
+        "rate_vs_framelength", "T", T_values, curves, n_mc, time.time() - t0
     )
 
 
 @_register("error_vs_paths")
 def error_vs_paths(n_mc=8, seed=0, mesh=None, **kw):
-    """``plot_errorVSpaths.m``: rays ∈ {1,3,6,9,12} at SNR −5 dB."""
+    """``plot_errorVSpaths.m``: rays ∈ {1,3,6,9,12}; noise variance
+    10^(-5/10) (``plot_errorVSpaths.m:24`` — +5 dB under the errorVSsnr
+    convention, see ``_NV_PATHS_DELAYS_NRF``)."""
     return run_sweep(
         "error_vs_paths", "n_rays", [1, 3, 6, 9, 12],
         point_fn=lambda r: PointConfig(
             n_rays=r, methods=("ls", "vamp", "omp_mmv", "proposed", "proposed_angles"),
             **kw,
         ),
-        noise_fn=lambda r: _nv(-5), n_mc=n_mc, seed=seed, mesh=mesh,
+        noise_fn=lambda r: _NV_PATHS_DELAYS_NRF, n_mc=n_mc, seed=seed, mesh=mesh,
     )
 
 
 @_register("error_vs_delays")
 def error_vs_delays(n_mc=8, seed=0, mesh=None, **kw):
     """``plot_errorVSdelays.m``: L ∈ {2,4,6,8,10} with T = 5·index,
-    SNR −5 dB, numOfnz=50, 10 MC."""
+    numOfnz=50, 10 MC; noise variance 10^(-5/10)
+    (``plot_errorVSdelays.m:22`` — +5 dB under the errorVSsnr convention)."""
     Ls = [2, 4, 6, 8, 10]
     return run_sweep(
         "error_vs_delays", "L", Ls,
@@ -151,15 +197,16 @@ def error_vs_delays(n_mc=8, seed=0, mesh=None, **kw):
             L=L, T=5 * (Ls.index(L) + 1), num_nonzero=50,
             methods=("ls", "vamp", "omp_mmv", "proposed", "proposed_angles"), **kw,
         ),
-        noise_fn=lambda L: _nv(-5), n_mc=n_mc, seed=seed, mesh=mesh,
+        noise_fn=lambda L: _NV_PATHS_DELAYS_NRF, n_mc=n_mc, seed=seed, mesh=mesh,
     )
 
 
 @_register("error_vs_nt")
 def error_vs_nt(n_mc=8, seed=0, mesh=None, **kw):
     """``plot_errorVSnt.m``: Nt ∈ {4,6,8,12,16} with per-Nt T table,
-    SNR −15 dB, numOfnz=50, FFT combiner (``plot_errorVSnt.m:72,123``),
-    reference MC count 50."""
+    numOfnz=50, FFT combiner (``plot_errorVSnt.m:72,123``), reference MC
+    count 50; noise variance 10^(-15/10) (``plot_errorVSnt.m:22`` —
+    +15 dB under the errorVSsnr convention)."""
     T_table = {4: 35, 6: 35, 8: 35, 12: 35, 16: 25}
     return run_sweep(
         "error_vs_nt", "Nt", [4, 6, 8, 12, 16],
@@ -167,20 +214,22 @@ def error_vs_nt(n_mc=8, seed=0, mesh=None, **kw):
             Nt=Nt, Gt=Nt, T=T_table[Nt], num_nonzero=50, beamformer="fft",
             methods=("ls", "vamp", "omp_mmv", "proposed", "proposed_angles"), **kw,
         ),
-        noise_fn=lambda Nt: _nv(-15), n_mc=n_mc, seed=seed, mesh=mesh,
+        noise_fn=lambda Nt: _NV_FRAMELEN_NT_RATE, n_mc=n_mc, seed=seed, mesh=mesh,
     )
 
 
 @_register("error_vs_nrf")
 def error_vs_nrf(n_mc=8, seed=0, mesh=None, **kw):
-    """``plot_errorVSnrf.m``: RF chains Mr ∈ {4,8,12,16}, T=5, SNR −5 dB."""
+    """``plot_errorVSnrf.m``: RF chains Mr ∈ {4,8,12,16}, T=5; noise
+    variance 10^(-5/10) (``plot_errorVSnrf.m:23`` — +5 dB under the
+    errorVSsnr convention)."""
     return run_sweep(
         "error_vs_nrf", "Mr", [4, 8, 12, 16],
         point_fn=lambda Mr: PointConfig(
             Mr=Mr, T=5,
             methods=("ls", "vamp", "omp_mmv", "proposed", "proposed_angles"), **kw,
         ),
-        noise_fn=lambda Mr: _nv(-5), n_mc=n_mc, seed=seed, mesh=mesh,
+        noise_fn=lambda Mr: _NV_PATHS_DELAYS_NRF, n_mc=n_mc, seed=seed, mesh=mesh,
     )
 
 
@@ -419,19 +468,36 @@ def energy_efficiency(n_mc=64, seed=0, mesh=None, **kw):
 
 
 @_register("rank_r")
-def rank_r(n_mc=16, seed=0, mesh=None, geometries=((32, 32, 4), (64, 32, 4)), **kw):
+def rank_r(n_mc=16, seed=0, mesh=None, geometries=None, channel_quirks=False,
+           **kw):
     """``plot_rankR.m``: mean singular-value spectra of the noiseless
-    observation Y for L ∈ {1,4,8} per (Nr, Mr_e, Nt) geometry — the
-    low-rank justification (rank marker at min(Np, L·Nt))."""
+    wide-combiner observation Y = W̃ᴴ·R for L ∈ {1,4,8} — the low-rank
+    justification (rank marker at min(Np, L·Nt)).
+
+    The reference's full grid is SIX panels: Nr ∈ {32, 64, 128} (Mr_e=32,
+    Nt=4, T=50) at two scattering densities — clusters=2/rays=3 (Np=6,
+    ``plot_rankR.m:9-19,68-78,124-134``) and clusters=3/rays=12 (Np=36,
+    ``plot_rankR.m:182-198,239-255,296-312``).  Each panel plots the first
+    min(Nr, Mr_e)=32 singular values of the noiseless 32×50 observation
+    (``plot_rankR.m:48,106,163,221``; QAM4 Toeplitz training, ZC combiner,
+    N=0).  ``geometries`` entries are (Nr, Mr_e, Nt, clusters, rays).
+    """
+    if geometries is None:
+        geometries = tuple(
+            (Nr, 32, 4, c, r)
+            for (c, r) in ((2, 3), (3, 12))
+            for Nr in (32, 64, 128)
+        )
     t0 = time.time()
     curves: Dict[str, list] = {}
     L_values = [1, 4, 8]
-    for (Nr, Mr_e, Nt) in geometries:
+    for (Nr, Mr_e, Nt, n_cl, n_rays) in geometries:
         for L in L_values:
             def realization(key):
-                T = 30
+                T = 50  # plot_rankR.m:19 (all six panels)
                 ch = wideband_mmwave_channel(
-                    prng.role_key(key, prng.ROLE_CHANNEL), L, Nr, Nt, 2, 3, Nr, Nt
+                    prng.role_key(key, prng.ROLE_CHANNEL), L, Nr, Nt,
+                    n_cl, n_rays, Nr, Nt, quirks=channel_quirks,
                 )
                 Psi = qam4_training_frames(
                     prng.role_key(key, prng.ROLE_TRAINING), Nt, T, L
@@ -444,14 +510,33 @@ def rank_r(n_mc=16, seed=0, mesh=None, geometries=((32, 32, 4), (64, 32, 4)), **
 
             keys = prng.realization_keys(prng.experiment_key(seed), L, n_mc)
             sv = jax.jit(jax.vmap(realization))(keys)
-            curves[f"Nr{Nr}_Mre{Mr_e}_L{L}"] = np.mean(
+            curves[f"Nr{Nr}_Mre{Mr_e}_Np{n_cl * n_rays}_L{L}"] = np.mean(
                 np.asarray(sv), axis=0
             ).tolist()
     res = SweepResult(
-        "rank_r", "sv_index", list(range(1, 1 + len(next(iter(curves.values()))))),
+        "rank_r", "sv_index",
+        list(range(1, 1 + min(len(c) for c in curves.values()))),
         curves, n_mc, time.time() - t0,
     )
-    res.extras["rank_marker"] = {"min(Np, L*Nt)": [min(6, L * 4) for L in L_values]}
+    res.extras["rank_marker"] = {
+        f"Np{Np}": {f"L{L}": min(Np, L * 4) for L in L_values}
+        for Np in sorted({c * r for (_, _, _, c, r) in geometries})
+    }
+    res.extras["channel_quirks"] = channel_quirks
+    return res
+
+
+@_register("rank_r_quirks")
+def rank_r_quirks(n_mc=16, seed=0, mesh=None, geometries=None, **kw):
+    """:func:`rank_r` under the reference-quirks ensemble — the generating
+    mode of the committed fig: the tap-1 steering reuse
+    (``wideband_mmwave_channel.m:24``) is what caps the stacked beamspace
+    rank at Np and produces the fig's singular-value drop at the
+    min(Np, L·Nt) markers; the paper-model spectra drop at the larger
+    per-tap-independent rank instead."""
+    res = rank_r(n_mc=n_mc, seed=seed, mesh=mesh, geometries=geometries,
+                 channel_quirks=True, **kw)
+    res.name = "rank_r_quirks"
     return res
 
 
@@ -555,8 +640,9 @@ def time_comparisons(n_mc=4, seed=0, mesh=None, reps=3, **kw):
     res.extras["note"] = (
         f"latency-bound small-batch numbers (batch={n_mc}): per-realization "
         "wall-clock at this batch, NOT peak throughput — the accelerator "
-        "amortizes over large batches (bench.py batch 256 reaches "
-        "~3000 est/s vs the ~35/s this artifact's 0.028 s/realization "
-        "implies; see PERF.md batch scaling)"
+        "amortizes over large batches; the batched-throughput analog of the "
+        "reference's tic/toc table is bench_all.py → "
+        "results/time_comparisons_tpu_batched.json (batch 256 on-chip: "
+        "ls 6942 / vamp 5417 / proposed 3337 est/s; see PERF.md)"
     )
     return res

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from jstsp19_tpu.channel import channel_from_taps, wideband_mmwave_channel
 from jstsp19_tpu.core import prng
-from jstsp19_tpu.core.metrics import clamped_nmse
+from jstsp19_tpu.core.metrics import clamped_nmse, nmse
 from jstsp19_tpu.frontend import (
     awgn,
     create_beamformer,
@@ -62,13 +62,23 @@ class PointConfig:
     admm_mode: str = "approximate"
     svt_method: str = "eigh"  # 'jacobi' = eigh-free inner loop (ops/jacobi.py)
     track_rounds: int = 1  # Jacobi refresh rounds/iter for svt_method='tracked' (1 = eigh-identical here, PERF.md)
-    # matmul precision of the tracked chain's two remaining matmuls:
-    # 'high' (3-pass bf16) measured on-chip at batch-mean NMSE equal to
-    # eigh to 3e-8 (0 dB) / 3e-4 (+15 dB) and ~7% faster than 'highest'
-    # (3371 vs 3165 est/s @ b256, results/tracked_rounds_tpu.json r3)
-    track_precision: str = "high"
+    # matmul precision of the tracked chain's two remaining matmuls.
+    # 'default' (single-pass bf16) validated round 4 on-chip across the
+    # canonical AND non-canonical sweep shapes (delays L=10, nt Nt=16,
+    # nrf Mr=16): per-realization NMSE agreement with the eigh-SVT oracle
+    # is the same as 'high' — max |Δ| 4e-4..9e-3 for BOTH, means within
+    # 3e-4 (results/precision_shapes_tpu.json) — and it is ~4.6% faster
+    # (3527 vs 3371 est/s @ b256, r3 measurement).  The chain tolerates
+    # single-pass bf16 because U is rotated exactly on the VPU and P is
+    # recomputed fresh each iteration (no accumulating matmul error).
+    track_precision: str = "default"
     vamp_nit: int = 100
     vamp_true_noise: bool = False  # reference passes sigma=1 (plot_errorVSsnr.m:100)
+    # VAMP extrinsic damping.  0.85 is the reference's (vamp.m:12); on
+    # ill-conditioned low-rank kron operators (e.g. the delays driver's
+    # T_hbf < L·Gt) the 0.85 dynamics diverge to the NMSE clamp while 0.6
+    # recovers — see tests/test_vamp_glm_se.py delays certification.
+    vamp_damp: float = 0.85
     # Run VAMP on the reference's normal-equations form y=vec(Y·Bᴴ),
     # Phi=kron((B·Bᴴ).',A) (plot_errorVSsnr.m:79-80).  With the reference's
     # fixed wvar=1 the two forms are NOT equivalent (the Bᴴ-correlation
@@ -136,7 +146,7 @@ def _proposed_frontend(key, pc: PointConfig, noise_var, H_ext=None, sys_real=Non
 
 
 def realization_errors(
-    key, pc: PointConfig, noise_var, H_ext=None
+    key, pc: PointConfig, noise_var, H_ext=None, *, clamp=True, with_zbar=False
 ) -> Dict[str, jnp.ndarray]:
     """Evaluate all configured estimators on one channel realization.
 
@@ -144,8 +154,13 @@ def realization_errors(
     outputs for special methods).  ``noise_var`` is a traced scalar so SNR
     sweeps share one compilation.  ``H_ext``: optional externally supplied
     delay taps (L, Nr, Nt) — e.g. NYU-Wireless ray-traced channels — that
-    replace the synthetic generator for this realization.
+    replace the synthetic generator for this realization.  ``clamp=False``
+    returns the raw (unclamped) spectral NMSE — the rate driver's
+    ``log2 det`` formula consumes it (``plot_rateVSframelength.m:81``);
+    ``with_zbar`` additionally returns the true beamspace channel under the
+    ``"Zbar"`` key for rate/oracle post-processing.
     """
+    clamped = clamped_nmse if clamp else nmse
     out: Dict[str, jnp.ndarray] = {}
     ch, Psi, N, W = _system_realization(key, pc, noise_var, H_ext)
 
@@ -157,7 +172,7 @@ def realization_errors(
         Y_c, W_c = hbf(ch.H, N[:, :Th], Psi[:, :, :Th], pc.Nr, W)
         A_c, B_c = _dictionaries(ch, W_c, Psi[:, :, :Th])
         if "ls" in pc.methods:
-            out["ls"] = clamped_nmse(ls_estimate(Y_c, A_c, B_c), ch.Zbar)
+            out["ls"] = clamped(ls_estimate(Y_c, A_c, B_c), ch.Zbar)
         if "vamp" in pc.methods:
             nv = noise_var if pc.vamp_true_noise else 1.0
             if pc.vamp_normal_eq:
@@ -165,13 +180,14 @@ def realization_errors(
                 # in matrix form, still kron-free (plot_errorVSsnr.m:79-80).
                 S_vamp = vamp_mmwave(
                     Y_c @ B_c.conj().T, A_c, B_c @ B_c.conj().T, nv,
-                    pc.num_nonzero, nit=pc.vamp_nit,
+                    pc.num_nonzero, nit=pc.vamp_nit, damp=pc.vamp_damp,
                 )
             else:
                 S_vamp = vamp_mmwave(
-                    Y_c, A_c, B_c, nv, pc.num_nonzero, nit=pc.vamp_nit
+                    Y_c, A_c, B_c, nv, pc.num_nonzero, nit=pc.vamp_nit,
+                    damp=pc.vamp_damp,
                 )
-            out["vamp"] = clamped_nmse(S_vamp, ch.Zbar)
+            out["vamp"] = clamped(S_vamp, ch.Zbar)
         if "omp_mmv" in pc.methods:
             # spx joint OMP on Y·pinv(B) (`plot_errorVSsnr.m:116-118`).
             # The reference passes numOfnz=100 > Gr=32 atoms; spx saturates
@@ -179,13 +195,13 @@ def realization_errors(
             # curves are identical) — reproduced by clamping to Gr.
             V = Y_c @ jnp.linalg.pinv(B_c)
             S_omp = omp_mmv(A_c, V, min(pc.num_nonzero, pc.Gr)).x
-            out["omp_mmv"] = clamped_nmse(S_omp, ch.Zbar)
+            out["omp_mmv"] = clamped(S_omp, ch.Zbar)
         if "omp_td" in pc.methods:
             # the figure legends' non-saturating "TD-OMP [11]": single OMP
             # over the implicit kron dictionary with numOfnz atoms
             k = min(pc.num_nonzero, pc.Gr * pc.L * pc.Gt)
             S_td = omp_td(A_c, B_c, Y_c, k).x
-            out["omp_td"] = clamped_nmse(S_td, ch.Zbar)
+            out["omp_td"] = clamped(S_td, ch.Zbar)
 
     proposed_like = {"proposed", "proposed_angles", "svt", "tssr"} & set(pc.methods)
     if proposed_like:
@@ -204,7 +220,7 @@ def realization_errors(
                 track_rounds=pc.track_rounds,
                 track_precision=pc.track_precision,
             )
-            out["proposed"] = clamped_nmse(res.S, ch.Zbar)
+            out["proposed"] = clamped(res.S, ch.Zbar)
         if "svt" in pc.methods or "tssr" in pc.methods:
             # SVT matrix completion of the masked observation, then LS
             # de-mixing / joint OMP with 2·nnz atoms — the SVT/TSSR baselines
@@ -214,11 +230,11 @@ def realization_errors(
             Y_svt = mc_svt(obs.Y, obs.Omega, pc.Imax, tau_Y, 0.1)
             if "svt" in pc.methods:
                 S_svt = ls_estimate(Y_svt, A_p, B_p)
-                out["svt"] = clamped_nmse(S_svt, ch.Zbar)
+                out["svt"] = clamped(S_svt, ch.Zbar)
             if "tssr" in pc.methods:
                 V = Y_svt @ jnp.linalg.pinv(B_p)
                 S_tssr = omp_mmv(A_p, V, min(2 * pc.num_nonzero, pc.Gr)).x
-                out["tssr"] = clamped_nmse(S_tssr, ch.Zbar)
+                out["tssr"] = clamped(S_tssr, ch.Zbar)
         if "proposed_angles" in pc.methods:
             indx = jnp.argsort(-jnp.abs(ch.Zbar).reshape(-1))
             res_a = proposed_admm_angles(
@@ -227,8 +243,10 @@ def realization_errors(
                 track_rounds=pc.track_rounds,
                 track_precision=pc.track_precision,
             )
-            out["proposed_angles"] = clamped_nmse(res_a.S, ch.Zbar)
+            out["proposed_angles"] = clamped(res_a.S, ch.Zbar)
 
+    if with_zbar:
+        out["Zbar"] = ch.Zbar
     return out
 
 

@@ -23,6 +23,7 @@ from jstsp19_tpu.ops.structured import (  # noqa: F401
     CenterOp,
     TVOp,
     HaarOp,
+    MedImageOp,
     random_unitary_op,
     expander_graph_op,
     rbf_kernel_op,

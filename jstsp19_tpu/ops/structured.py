@@ -272,6 +272,118 @@ class HaarOp(LinOp):
 _register(HaarOp, (), ("n", "levels"))
 
 
+@dataclasses.dataclass(frozen=True)
+class MedImageOp(LinOp):
+    """Undersampled-k-space medical-imaging acquisition
+    (``main/MedImageLinTrans.m``): ``z = M · F · Wᴴ · x`` where x are the
+    2-D wavelet coefficients of an (ny, nx) image, Wᴴ is the multi-level
+    2-D (Mallat/quadrant) Haar synthesis, F the orthonormal 2-D DFT, and M
+    a static binary k-space subsampling mask.
+
+    Differences from the reference, by design: the wavelet is the
+    orthonormal Haar family (the reference defers to MATLAB's wavelet
+    toolbox ``wfilters``); orthonormality makes the analysis operator the
+    exact adjoint, so no filters are materialized.  The variance maps use
+    the reference's uniform Frobenius approximation
+    (``LinTrans.m`` default): every row of M·F·Wᴴ has unit norm, so
+    ``|A|²·v ≈ sum(v)/N`` and ``|A|²ᵀ·v ≈ sum(v)/N``.
+
+    ``mask_idx``: static flat indices (row-major over the (ny, nx) k-space
+    plane) of the acquired samples.  Input/output are flattened vectors
+    (LinTrans convention).
+    """
+
+    ny: int
+    nx: int
+    levels: int
+    mask_idx: Tuple[int, ...]
+
+    def __post_init__(self):
+        if (self.ny & (self.ny - 1)) or (self.nx & (self.nx - 1)):
+            raise ValueError("MedImageOp requires power-of-two image dims")
+
+    @property
+    def in_shape(self):
+        return (self.ny * self.nx,)
+
+    @property
+    def out_shape(self):
+        return (len(self.mask_idx),)
+
+    # -- 2-D Mallat Haar (quadrant layout, orthonormal) --------------------
+    def _synthesis(self, c):
+        """Wavelet coefficients (…, ny, nx) → image."""
+        inv_sqrt2 = 1.0 / np.sqrt(2.0)
+        a = c
+        for lev in reversed(range(self.levels)):
+            h, w = self.ny >> lev, self.nx >> lev
+            sub = a[..., :h, :w]
+            hh, hw = h // 2, w // 2
+            ll = sub[..., :hh, :hw]
+            lh = sub[..., :hh, hw:w]
+            hl = sub[..., hh:h, :hw]
+            hd = sub[..., hh:h, hw:w]
+            # inverse separable Haar: columns then rows
+            top = jnp.stack(
+                [(ll + lh) * inv_sqrt2, (ll - lh) * inv_sqrt2], axis=-1
+            ).reshape(ll.shape[:-1] + (w,))
+            bot = jnp.stack(
+                [(hl + hd) * inv_sqrt2, (hl - hd) * inv_sqrt2], axis=-1
+            ).reshape(hl.shape[:-1] + (w,))
+            rec = jnp.stack([(top + bot) * inv_sqrt2,
+                             (top - bot) * inv_sqrt2], axis=-2)
+            rec = rec.reshape(rec.shape[:-3] + (h, w))
+            a = a.at[..., :h, :w].set(rec)
+        return a
+
+    def _analysis(self, img):
+        """Image → wavelet coefficients (the synthesis adjoint)."""
+        inv_sqrt2 = 1.0 / np.sqrt(2.0)
+        a = img
+        for lev in range(self.levels):
+            h, w = self.ny >> lev, self.nx >> lev
+            sub = a[..., :h, :w]
+            e_r, o_r = sub[..., 0::2, :], sub[..., 1::2, :]
+            lo_r = (e_r + o_r) * inv_sqrt2
+            hi_r = (e_r - o_r) * inv_sqrt2
+            rows = jnp.concatenate([lo_r, hi_r], axis=-2)
+            e_c, o_c = rows[..., :, 0::2], rows[..., :, 1::2]
+            lo_c = (e_c + o_c) * inv_sqrt2
+            hi_c = (e_c - o_c) * inv_sqrt2
+            a = a.at[..., :h, :w].set(
+                jnp.concatenate([lo_c, hi_c], axis=-1)
+            )
+        return a
+
+    def mv(self, x):
+        img = self._synthesis(
+            x.reshape(x.shape[:-1] + (self.ny, self.nx)).astype(jnp.complex64)
+        )
+        k = jnp.fft.fft2(img, norm="ortho")
+        return k.reshape(k.shape[:-2] + (-1,))[..., np.asarray(self.mask_idx)]
+
+    def rmv(self, z):
+        full = jnp.zeros(
+            z.shape[:-1] + (self.ny * self.nx,), jnp.complex64
+        ).at[..., np.asarray(self.mask_idx)].set(z)
+        img = jnp.fft.ifft2(
+            full.reshape(full.shape[:-1] + (self.ny, self.nx)), norm="ortho"
+        )
+        c = self._analysis(img)
+        return c.reshape(c.shape[:-2] + (-1,))
+
+    def sq_mv(self, v):
+        s = jnp.sum(v, axis=-1, keepdims=True) / (self.ny * self.nx)
+        return jnp.broadcast_to(s, v.shape[:-1] + (len(self.mask_idx),))
+
+    def sq_rmv(self, v):
+        s = jnp.sum(v, axis=-1, keepdims=True) / (self.ny * self.nx)
+        return jnp.broadcast_to(s, v.shape[:-1] + (self.ny * self.nx,))
+
+
+_register(MedImageOp, (), ("ny", "nx", "levels", "mask_idx"))
+
+
 def random_unitary_op(key, n: int) -> MatrixOp:
     """Haar-random unitary as a dense operator (``RandomUniTrans.m``):
     QR of a complex Gaussian with the standard phase fix."""

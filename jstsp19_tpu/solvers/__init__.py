@@ -43,6 +43,7 @@ from jstsp19_tpu.solvers.estim import (  # noqa: F401
     QuantizedLikelihood,
     OutlierLikelihood,
     AwbgnLikelihood,
+    TruthReporterPrior,
     LaplaceLikelihood,
     MagnitudeLikelihood,
     DiracPrior,

@@ -184,8 +184,13 @@ def proposed_admm(
     )
 
     tracked = svt_method == "tracked"
-    if tracked and (N % 2 or N > M):
-        raise ValueError("svt_method='tracked' needs even N <= M")
+    # the tracked chain works on the THIN side of the SVT input; for N > M
+    # (e.g. the nrf driver's T=5: 32×20 observations) it runs on the
+    # transpose — SVT(Xᵀ)ᵀ == SVT(X) exactly (X = UΣVᴴ ⇒ Xᵀ = V̄Σ(Ū)ᴴ)
+    track_flip = tracked and N > M
+    Ns = M if track_flip else N  # tracked-basis dimension (thin side)
+    if tracked and Ns % 2:
+        raise ValueError("svt_method='tracked' needs an even thin dimension")
     if svt_method == "jacobi":
         from jstsp19_tpu.ops.jacobi import svt_jacobi
 
@@ -201,10 +206,10 @@ def proposed_admm(
             _schedule_gather_tables,
         )
 
-        sched = jnp.asarray(_round_robin_schedule(N))  # (N-1, 2, N/2)
+        sched = jnp.asarray(_round_robin_schedule(Ns))  # (Ns-1, 2, Ns/2)
         part_t, slot_t, isp_t = (
-            jnp.asarray(t) for t in _schedule_gather_tables(N)
-        )  # (N-1, N) each: pair partner / pair slot / "is the p side"
+            jnp.asarray(t) for t in _schedule_gather_tables(Ns)
+        )  # (Ns-1, Ns) each: pair partner / pair slot / "is the p side"
         TRACK_ROUNDS = track_rounds
 
         def _track_rounds(U, P, start):
@@ -220,7 +225,7 @@ def proposed_admm(
             # dense-G form at 64% of device self-time).
             def rr(carry, j):
                 U, P = carry
-                ridx = (start + j) % (N - 1)
+                ridx = (start + j) % (Ns - 1)
                 p, q = sched[ridx, 0], sched[ridx, 1]  # (N/2,) each
                 Pp = P[p, :]  # (N/2, M)
                 Pq = P[q, :]
@@ -267,8 +272,8 @@ def proposed_admm(
                 Wc = jnp.where(
                     jnp.isfinite(W.real) & jnp.isfinite(W.imag), W, 0.0
                 )
-                P = U.conj().T @ Wc  # (N, M)
-                U2, P2 = _track_rounds(U, P, (i * TRACK_ROUNDS) % (N - 1))
+                P = U.conj().T @ Wc  # (Ns, thick-side)
+                U2, P2 = _track_rounds(U, P, (i * TRACK_ROUNDS) % (Ns - 1))
                 sig = jnp.sqrt(jnp.sum(jnp.abs(P2) ** 2, axis=-1))
                 f = jnp.where(
                     sig > 0,
@@ -284,7 +289,12 @@ def proposed_admm(
         st, U = carry
         # -- sub 1: nuclear-norm prox ------------------------------------
         if tracked:
-            Y, U = _tracked_svt(st.X - st.V1 / rho, tau_Y / rho, U, i)
+            Win = st.X - st.V1 / rho
+            if track_flip:
+                Yt, U = _tracked_svt(Win.T, tau_Y / rho, U, i)
+                Y = Yt.T
+            else:
+                Y, U = _tracked_svt(Win, tau_Y / rho, U, i)
         else:
             Y = svt_fn(st.X - st.V1 / rho, tau_Y / rho)
 
@@ -328,7 +338,7 @@ def proposed_admm(
             conv = jnp.zeros((0,), subY.real.dtype)
         return (State(X, V1, V2, C, Y, S, v), U), conv
 
-    U0 = jnp.eye(N, dtype=cdt)
+    U0 = jnp.eye(Ns, dtype=cdt) if tracked else jnp.eye(N, dtype=cdt)
     (final, _), conv = jax.lax.scan(body, (init, U0), jnp.arange(Imax))
     return AdmmResult(
         S=final.S,

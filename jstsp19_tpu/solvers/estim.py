@@ -25,6 +25,7 @@ Implemented (★ = on the jstsp19 experiment path):
     QuantizedLikelihood — few-bit-ADC interval channel
     OutlierLikelihood — 2-comp Gaussian-mixture noise    (GaussMixEstimOut.m)
     AwbgnLikelihood   — delta-spike + Gaussian noise      (AwbgnEstimOut.m)
+    TruthReporterPrior — in-flight diagnostics wrapper    (TruthReporter.m)
     LaplaceLikelihood — Laplacian-noise channel          (LaplaceEstimOut.m)
     MagnitudeLikelihood — magnitude-only (Rician) channel (ncCAwgnEstimOut.m,
                           the PR-GAMP phase-retrieval observation)
@@ -546,6 +547,49 @@ class AwbgnLikelihood:
 
 
 _register(AwbgnLikelihood, ("y", "wvar", "lam"))
+
+
+@dataclasses.dataclass(frozen=True)
+class TruthReporterPrior:
+    """Debugging wrapper around a prior that prints in-flight GAMP
+    diagnostics against a known truth (``main/TruthReporter.m``): the
+    correlation of the rhat error with the signal (→0 for matched MMSE
+    messages), the rhat-MSE/rvar and xhat-MSE/xvar consistency ratios, and
+    the running NMSE in dB.  Uses ``jax.debug.print`` so it works inside
+    jit/scan (prints at execution, not trace)."""
+
+    base: object
+    truth: jnp.ndarray
+
+    def estim(self, rhat, rvar):
+        xhat, xvar = self.base.estim(rhat, rvar)
+        err = rhat - self.truth
+        ec = jnp.sum(jnp.conj(err - err.mean()) * (self.truth - self.truth.mean()))
+        denom = jnp.sqrt(
+            jnp.sum(jnp.abs(err - err.mean()) ** 2)
+            * jnp.sum(jnp.abs(self.truth - self.truth.mean()) ** 2)
+        )
+        err_corr = jnp.abs(ec) / jnp.maximum(denom, 1e-30)
+        rhat_mse = jnp.mean(jnp.abs(err) ** 2)
+        xhat_mse = jnp.mean(jnp.abs(xhat - self.truth) ** 2)
+        nmse_db = 10.0 * jnp.log10(
+            jnp.sum(jnp.abs(xhat - self.truth) ** 2)
+            / jnp.maximum(jnp.sum(jnp.abs(self.truth) ** 2), 1e-30)
+        )
+        jax.debug.print(
+            "truth: |corr(rhat-x,x)|={c:.2f} rhatMSE/rvar={r:.4f} "
+            "xhatMSE/xvar={x:.4f} NMSE={n:.2f} dB",
+            c=err_corr, r=rhat_mse / jnp.maximum(jnp.mean(rvar), 1e-30),
+            x=xhat_mse / jnp.maximum(jnp.mean(xvar), 1e-30), n=nmse_db,
+        )
+        return xhat, xvar
+
+    def __getattr__(self, name):
+        # delegate estim_map / val_neg_kl / fields to the wrapped prior
+        return getattr(self.base, name)
+
+
+_register(TruthReporterPrior, ("base", "truth"))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -187,3 +187,27 @@ def test_tracked_svt_single_round_matches_eigh():
                 np.asarray(res["eigh"][meth]),
                 atol=1e-4,
             )
+
+
+def test_tracked_svt_thin_side_flip_matches_eigh():
+    """N > M observations (the nrf driver's T=5: 32×20) run the tracked
+    chain on the transpose — SVT(Xᵀ)ᵀ == SVT(X) exactly — and must match
+    the eigh-SVT solver per realization (round-4 fix; previously raised)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jstsp19_tpu.core import prng
+    from jstsp19_tpu.harness.pipeline import PointConfig, realization_errors
+
+    nv = jnp.asarray(10 ** (-5 / 10), jnp.float32)
+    keys = prng.realization_keys(prng.experiment_key(0), 0, 4)
+    outs = {}
+    for svt in ("eigh", "tracked"):
+        pc = PointConfig(Mr=16, T=5, methods=("proposed",), svt_method=svt)
+        outs[svt] = np.asarray(
+            jax.jit(jax.vmap(lambda k: realization_errors(k, pc, nv)))(keys)[
+                "proposed"
+            ]
+        )
+    np.testing.assert_allclose(outs["tracked"], outs["eigh"], atol=5e-4)

@@ -53,7 +53,7 @@ def test_run_sweep_snr_curve_monotone_trend():
         ("error_vs_admmiters", dict(n_mc=2, Imax=15)),
         ("capacity", dict(n_mc=4)),
         ("energy_efficiency", dict(n_mc=4)),
-        ("rank_r", dict(n_mc=2, geometries=((32, 32, 4),))),
+        ("rank_r", dict(n_mc=2, geometries=((32, 32, 4, 2, 3),))),
         ("channel_correlation", dict()),
         ("bar3_beamspace", dict()),
     ],
@@ -105,3 +105,44 @@ def test_run_sweep_orbax_checkpoint_resume(tmp_path):
     assert (tmp_path / "ockpt_test.snr_db.0.orbax").exists()
     res2 = run_sweep("ockpt_test", **kw)  # fully from checkpoints
     assert res2.curves["proposed"] == res1.curves["proposed"]
+
+
+def test_achievable_rate_closed_form():
+    """achievable_rate matches the reference's log2-det formula
+    (plot_rateVSframelength.m:81) — checked against a direct slogdet on a
+    random Zbar, and analytically on a diagonal one."""
+    import jax.numpy as jnp
+
+    from jstsp19_tpu.core.metrics import achievable_rate
+
+    rng = np.random.default_rng(0)
+    Z = jnp.asarray(
+        rng.standard_normal((8, 12)) + 1j * rng.standard_normal((8, 12)),
+        jnp.complex64,
+    )
+    nv, nmse, Nr = 0.1, 0.02, 32
+    direct = float(
+        jnp.log(
+            jnp.linalg.det(
+                jnp.eye(8, dtype=jnp.complex64)
+                + Z @ Z.conj().T / (Nr * (nv + nmse))
+            ).real
+        )
+        / jnp.log(2.0)
+    )
+    ours = float(achievable_rate(Z, nmse, nv, Nr))
+    assert abs(ours - direct) < 1e-3 * max(1.0, abs(direct))
+    # diagonal case: sum of scalar capacities
+    d = jnp.asarray([4.0, 1.0, 0.25])
+    Zd = jnp.diag(jnp.sqrt(d)).astype(jnp.complex64)
+    expect = float(jnp.sum(jnp.log2(1 + d / (Nr * (nv + nmse)))))
+    assert abs(float(achievable_rate(Zd, nmse, nv, Nr)) - expect) < 1e-5
+
+
+def test_rate_vs_framelength_increases_with_T():
+    """More training → lower NMSE → higher achievable rate (and the
+    proposed estimator's ASE must dominate raw LS at the T=15 point)."""
+    res = get_experiment("rate_vs_framelength")(n_mc=4)
+    prop = res.curves["proposed"]
+    assert prop[-1] > prop[0]
+    assert res.curves["proposed"][-1] >= res.curves["ls"][-1] - 1e-6

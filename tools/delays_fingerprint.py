@@ -47,10 +47,13 @@ FIG_PROPOSED = [0.001237, 0.0006206, 0.0005246, 0.0006092, 0.001315]
 T_RECIPES = {
     "5idx": lambda L, idx: 5 * (idx + 1),   # committed driver: T = 5·l_indx
     "10L": lambda L, idx: 10 * L,
+    "T40": lambda L, idx: 40,
     "T50": lambda L, idx: 50,
+    "T60": lambda L, idx: 60,
     "T70": lambda L, idx: 70,
     "T90": lambda L, idx: 90,
 }
+DEFAULT_RECIPES = ["5idx", "10L", "T50", "T70", "T90"]
 SNRS = [-5, 0, 5, 15]
 RATIOS = [0.75, 1.0]
 HYPERS = ["approx", "canonical"]
@@ -86,13 +89,19 @@ def _realization(key, noise_var, *, T, ratio, L, hyper, Imax=100):
     return clamped_nmse(ls_estimate(res.Y, A, B), ch.Zbar)
 
 
-def main(n_mc=16, seed=0):
+def main(n_mc=16, seed=0, recipes=None, snrs=None, ratios=None,
+         hypers=None, out_name="delays_fingerprint.json"):
     from jstsp19_tpu.core import prng
 
-    out_path = os.path.join(REPO, "results", "delays_fingerprint.json")
+    global SNRS
+    SNRS = snrs or SNRS
+    recipes = recipes or DEFAULT_RECIPES
+    ratios = ratios or RATIOS
+    hypers = hypers or HYPERS
+    out_path = os.path.join(REPO, "results", out_name)
     results = []
     t_all = time.time()
-    for recipe, ratio, hyper in itertools.product(T_RECIPES, RATIOS, HYPERS):
+    for recipe, ratio, hyper in itertools.product(recipes, ratios, hypers):
         curve = {s: [] for s in SNRS}
         t0 = time.time()
         for idx, L in enumerate(FIG_L):
@@ -138,4 +147,22 @@ def main(n_mc=16, seed=0):
 
 
 if __name__ == "__main__":
-    main(n_mc=int(sys.argv[1]) if len(sys.argv) > 1 else 16)
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("n_mc", nargs="?", type=int, default=16)
+    ap.add_argument("--recipes", default=None,
+                    help="comma list from " + ",".join(T_RECIPES))
+    ap.add_argument("--snrs", default=None, help="comma list of dB values")
+    ap.add_argument("--ratios", default=None)
+    ap.add_argument("--hypers", default=None)
+    ap.add_argument("--out", default="delays_fingerprint.json")
+    a = ap.parse_args()
+    main(
+        n_mc=a.n_mc,
+        recipes=a.recipes.split(",") if a.recipes else None,
+        snrs=[float(x) for x in a.snrs.split(",")] if a.snrs else None,
+        ratios=[float(x) for x in a.ratios.split(",")] if a.ratios else None,
+        hypers=a.hypers.split(",") if a.hypers else None,
+        out_name=a.out,
+    )

@@ -74,9 +74,13 @@ def main():
         ):
             pc = PointConfig(methods=METHODS, **kwargs, **pckw)
             t0 = time.time()
+            # pass the noise variance as an argument (a closure-captured
+            # device scalar becomes a traced constant whose host fetch can
+            # fail through the relay)
             out = jax.jit(
-                jax.vmap(lambda k: realization_errors(k, pc, nvj))
-            )(keys)
+                jax.vmap(lambda k, nv_: realization_errors(k, pc, nv_),
+                         in_axes=(0, None))
+            )(keys, nvj)
             out = {m: np.asarray(v) for m, v in out.items()}
             log(f"{name}/{variant}: {time.time()-t0:.1f}s "
                 f"mean={out['proposed'].mean():.4f}")
@@ -95,6 +99,17 @@ def main():
                 for v in per_variant
             }
         rows[name] = dict(noise_var=nv, **row)
+        _write(rows, ns)
+
+    _write(rows, ns)
+    print(json.dumps({"artifact": PATH}))
+
+
+PATH = "/root/repo/results/precision_shapes_tpu.json"
+
+
+def _write(rows, ns):
+    import jax
 
     out = dict(
         n_mc=ns.n_mc,
@@ -105,10 +120,8 @@ def main():
              "(3-pass) vs the eigh-SVT oracle, same keys",
         configs=rows,
     )
-    path = "/root/repo/results/precision_shapes_tpu.json"
-    with open(path, "w") as f:
+    with open(PATH, "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps({"artifact": path}))
 
 
 if __name__ == "__main__":
