@@ -1,8 +1,9 @@
 """Render the constructive-closure comparison figure.
 
-Two panels (results/parity_closure.png): the errorVSsnr.fig closure (our
-quirks/0.75/T=70 curves vs the fig's committed points) and the
-errorVStraining_dbf.fig closure (ratio 1.0, +15 dB, T sweep).  Colors are
+Three panels (results/parity_closure.png): the errorVSsnr.fig closure (our
+quirks/0.75/T=70 curves vs the fig's committed points), the
+errorVStraining_dbf.fig closure (ratio 1.0, +15 dB, T sweep), and the
+round-4 errorVSdelays.fig closure (T=90, ratio 1.0, +5 dB member).  Colors are
 the Okabe-Ito CVD-safe hues in fixed method order with distinct markers +
 line styles as secondary encoding; reference points are open black marks.
 
@@ -39,7 +40,7 @@ def main():
         open(os.path.join(REPO, "results", "reference_fig_curves.json"))
     )
 
-    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4.2))
+    fig, (ax1, ax2, ax3) = plt.subplots(1, 3, figsize=(16, 4.2))
 
     # -- panel 1: errorVSsnr.fig vs quirks/0.75/T=70 ----------------------
     row = next(
@@ -90,6 +91,36 @@ def main():
     ax2.set_title("errorVStraining_dbf.fig closure\n(ratio 1.0 = digital BF, +15 dB)")
     ax2.grid(True, which="both", alpha=0.25)
     ax2.legend(fontsize=8)
+
+    # -- panel 3: errorVSdelays.fig Proposed closure (round 4) ------------
+    refine = json.load(
+        open(os.path.join(REPO, "results", "delays_fingerprint_refine.json"))
+    )
+    win = next(
+        r for r in refine["results"] if r["T"] == 90 and r["ratio"] == 1.0
+    )
+    c, mk, ls = STYLE["proposed"]
+    ax3.semilogy(win["L"], win["curves"]["proposed"], color=c, marker=mk,
+                 ls=ls, lw=2, ms=5, label="Proposed (ours, T=90/r1.0/+5dB)")
+    cv, mkv, lsv = STYLE["vamp"]
+    t70 = next(
+        r for r in refine["results"] if r["T"] == 70 and r["ratio"] == 1.0
+    )
+    ax3.semilogy(t70["L"], t70["curves"]["vamp"], color=cv, marker=mkv,
+                 ls=lsv, lw=2, ms=5, label="VAMP (ours, T=70/r1.0/+5dB)")
+    ref3 = {l["label"]: l for l in figs["errorVSdelays.fig"]}
+    for m in ("proposed", "vamp"):
+        r = ref3[FIG_LABEL[m]]
+        ax3.semilogy(r["x"], r["y"], ls="none", marker="o", ms=10,
+                     mfc="none", mec="black", mew=1.5)
+    ax3.semilogy([], [], ls="none", marker="o", ms=10, mfc="none",
+                 mec="black", mew=1.5, label="errorVSdelays.fig points")
+    ax3.set_xlabel("delay taps L")
+    ax3.set_ylabel("NMSE")
+    ax3.set_title("errorVSdelays.fig closure"
+                  "\n(quirks, composite family members)")
+    ax3.grid(True, which="both", alpha=0.25)
+    ax3.legend(fontsize=8)
 
     fig.tight_layout()
     out = os.path.join(REPO, "results", "parity_closure.png")
