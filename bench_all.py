@@ -48,7 +48,8 @@ def _mc_admm_errors(key, noise_var):
     ch, obs, A_p, B_p, tau_Y, tau_S, rho = _proposed_frontend(
         key, pc, noise_var
     )
-    X, _ = mc_admm(obs.Y_full, obs.Y, obs.Omega, pc.Imax, tau_Y, rho)
+    X, _ = mc_admm(obs.Y_full, obs.Y, obs.Omega, pc.Imax, tau_Y, rho,
+                   svt_method="tracked")
     return clamped_nmse(ls_estimate(X, A_p, B_p), ch.Zbar)
 
 
@@ -71,16 +72,26 @@ def main():
     from jstsp19_tpu.harness.pipeline import PointConfig, realization_errors
 
     noise_var = jnp.asarray(1.0, jnp.float32)  # SNR 0 dB, as bench.py
+    # partial --methods runs merge into an existing artifact
     rows = {}
+    if os.path.exists(ns.out):
+        try:
+            with open(ns.out) as f:
+                rows = json.load(f).get("methods", {})
+        except (json.JSONDecodeError, OSError):
+            rows = {}
     for method in ns.methods.split(","):
         if method == "mc_admm":
             run = jax.jit(jax.vmap(_mc_admm_errors, in_axes=(0, None)))
         else:
-            # the flagship uses its bench.py configuration (tracked SVT);
-            # every other family is the plain canonical config
+            # tracked SVT wherever an SVT sits in the loop (flagship ADMM
+            # and the mc_svt-based svt/tssr families — round-4 extension);
+            # the rest are SVT-free
             pc = PointConfig(
                 methods=(method,),
-                svt_method="tracked" if method.startswith("proposed") else "eigh",
+                svt_method="tracked"
+                if method.startswith("proposed") or method in ("svt", "tssr")
+                else "eigh",
             )
 
             def run_fn(keys, nv, pc=pc, method=method):
@@ -120,8 +131,8 @@ def main():
             device=jax.devices()[0].device_kind,
             backend=jax.default_backend(),
             config="canonical errorVSsnr (Imax=100, paper-model ensemble, "
-                   "0 dB); flagship rows use svt_method='tracked' (bench.py "
-                   "defaults), others 'eigh'",
+                   "0 dB); every SVT-bearing family (proposed*, svt, tssr, "
+                   "mc_admm) runs svt_method='tracked' (ops/tracked.py)",
             matlab_reference_est_per_sec=1.0,
             note="batched throughput: one compiled batch per family "
                  "(channel+frontend+solver+NMSE), best of reps, host "

@@ -227,7 +227,12 @@ def realization_errors(
             # of the commented blocks `plot_errorVSsnr.m:148-163` (which feed
             # the ADMM's completed Y into mc_svt; here the actual masked
             # observation is completed, which is what SVT-MC is defined on).
-            Y_svt = mc_svt(obs.Y, obs.Omega, pc.Imax, tau_Y, 0.1)
+            Y_svt = mc_svt(
+                obs.Y, obs.Omega, pc.Imax, tau_Y, 0.1,
+                svt_method="tracked" if pc.svt_method == "tracked" else "eigh",
+                track_rounds=pc.track_rounds,
+                track_precision=pc.track_precision,
+            )
             if "svt" in pc.methods:
                 S_svt = ls_estimate(Y_svt, A_p, B_p)
                 out["svt"] = clamped(S_svt, ch.Zbar)

@@ -184,13 +184,17 @@ def proposed_admm(
     )
 
     tracked = svt_method == "tracked"
-    # the tracked chain works on the THIN side of the SVT input; for N > M
-    # (e.g. the nrf driver's T=5: 32×20 observations) it runs on the
-    # transpose — SVT(Xᵀ)ᵀ == SVT(X) exactly (X = UΣVᴴ ⇒ Xᵀ = V̄Σ(Ū)ᴴ)
-    track_flip = tracked and N > M
-    Ns = M if track_flip else N  # tracked-basis dimension (thin side)
-    if tracked and Ns % 2:
-        raise ValueError("svt_method='tracked' needs an even thin dimension")
+    if tracked:
+        # Shared warm-started eigh-free SVT machinery (ops/tracked.py):
+        # VPU Givens rotations + T-free P-form chain, thin-side transpose
+        # for N > M — see PERF.md rounds 2-4.
+        from jstsp19_tpu.ops.tracked import make_tracked_svt
+
+        U0, _tracked_step = make_tracked_svt(
+            N, M, cdt, track_rounds, track_precision
+        )
+    else:
+        U0 = jnp.eye(N, dtype=cdt)  # unused carry placeholder
     if svt_method == "jacobi":
         from jstsp19_tpu.ops.jacobi import svt_jacobi
 
@@ -200,101 +204,11 @@ def proposed_admm(
     else:
         raise ValueError(f"unknown svt_method {svt_method!r}")
 
-    if tracked:
-        from jstsp19_tpu.ops.jacobi import (
-            _round_robin_schedule,
-            _schedule_gather_tables,
-        )
-
-        sched = jnp.asarray(_round_robin_schedule(Ns))  # (Ns-1, 2, Ns/2)
-        part_t, slot_t, isp_t = (
-            jnp.asarray(t) for t in _schedule_gather_tables(Ns)
-        )  # (Ns-1, Ns) each: pair partner / pair slot / "is the p side"
-        TRACK_ROUNDS = track_rounds
-
-        def _track_rounds(U, P, start):
-            # One parallel-ordering Jacobi round = N/2 disjoint Givens
-            # rotations.  The rotated Gram T = P·Pᴴ is never formed: the
-            # round only needs its diagonal and the N/2 scheduled (p, q)
-            # entries, all of which are row reductions of P
-            # (T[p,q] = ⟨P[p,:], P[q,:]⟩) — VPU work.  The round matrix G
-            # has exactly TWO nonzeros per row/column, so U·G and Gᴴ·P are
-            # elementwise row/column linear combinations (gather + VPU f32
-            # math) rather than N×N matmuls — the rotation chain needs no
-            # MXU and no elevated matmul precision (the r2 trace put the
-            # dense-G form at 64% of device self-time).
-            def rr(carry, j):
-                U, P = carry
-                ridx = (start + j) % (Ns - 1)
-                p, q = sched[ridx, 0], sched[ridx, 1]  # (N/2,) each
-                Pp = P[p, :]  # (N/2, M)
-                Pq = P[q, :]
-                app = jnp.sum(jnp.abs(Pp) ** 2, axis=-1)
-                aqq = jnp.sum(jnp.abs(Pq) ** 2, axis=-1)
-                apq = jnp.sum(Pp * jnp.conj(Pq), axis=-1)
-                mag = jnp.abs(apq)
-                phase = jnp.where(
-                    mag > 0, apq / jnp.where(mag > 0, mag, 1.0), 1.0 + 0.0j
-                )
-                theta = 0.5 * jnp.arctan2(2.0 * mag, app - aqq)
-                c = jnp.cos(theta)  # (N/2,) real
-                s = (jnp.sin(theta) * phase).astype(cdt)  # (N/2,) complex
-                part, slot, isp = part_t[ridx], slot_t[ridx], isp_t[ridx]
-                cf = c[..., slot]  # (N,) real: both pair members share c
-                sf = s[..., slot]
-                # G[p,p]=G[q,q]=c, G[p,q]=−s, G[q,p]=s̄  ⇒
-                #  (X·G)[:,p] = c·X[:,p] + s̄·X[:,q];  (X·G)[:,q] = c·X[:,q] − s·X[:,p]
-                #  (Gᴴ·X)[p,:] = c·X[p,:] + s·X[q,:]; (Gᴴ·X)[q,:] = c·X[q,:] − s̄·X[p,:]
-                bR = jnp.where(isp, jnp.conj(sf), -sf)  # right-mult coeffs
-                bL = jnp.where(isp, sf, -jnp.conj(sf))  # left-mult coeffs
-
-                def rot_r(X):
-                    return X * cf[None, :] + jnp.take(X, part, axis=-1) * bR[None, :]
-
-                def rot_l(X):
-                    return X * cf[:, None] + jnp.take(X, part, axis=-2) * bL[:, None]
-
-                return (rot_r(U), rot_l(P)), None
-
-            (U, P), _ = jax.lax.scan(rr, (U, P), jnp.arange(TRACK_ROUNDS))
-            return U, P
-
-        def _tracked_svt(W, tau, U, i):
-            # The chain is restructured around P = Uᴴ·W: the rotated Gram
-            # T = P·Pᴴ (== Uᴴ(WWᴴ)U) is consumed entirely through VPU row
-            # reductions of P, the Jacobi round updates P by the
-            # elementwise left-rotation (P' = GᴴP since U' = U·G), the
-            # shrunk singular values come from diag(T') = row norms of P',
-            # and the reconstruction is U'·(f∘P'): TWO N×N×M matmuls per
-            # iteration instead of the naive G/UᴴGU/UᴴW/reconstruction
-            # five (PERF.md r3).
-            def rot_chain():
-                Wc = jnp.where(
-                    jnp.isfinite(W.real) & jnp.isfinite(W.imag), W, 0.0
-                )
-                P = U.conj().T @ Wc  # (Ns, thick-side)
-                U2, P2 = _track_rounds(U, P, (i * TRACK_ROUNDS) % (Ns - 1))
-                sig = jnp.sqrt(jnp.sum(jnp.abs(P2) ** 2, axis=-1))
-                f = jnp.where(
-                    sig > 0,
-                    jnp.maximum(sig - tau, 0.0) / jnp.where(sig > 0, sig, 1.0),
-                    0.0,
-                )
-                return U2 @ (f[:, None] * P2), U2
-
-            with jax.default_matmul_precision(track_precision):
-                return rot_chain()
-
     def body(carry, i):
         st, U = carry
         # -- sub 1: nuclear-norm prox ------------------------------------
         if tracked:
-            Win = st.X - st.V1 / rho
-            if track_flip:
-                Yt, U = _tracked_svt(Win.T, tau_Y / rho, U, i)
-                Y = Yt.T
-            else:
-                Y, U = _tracked_svt(Win, tau_Y / rho, U, i)
+            Y, U = _tracked_step(st.X - st.V1 / rho, tau_Y / rho, U, i)
         else:
             Y = svt_fn(st.X - st.V1 / rho, tau_Y / rho)
 
@@ -338,7 +252,6 @@ def proposed_admm(
             conv = jnp.zeros((0,), subY.real.dtype)
         return (State(X, V1, V2, C, Y, S, v), U), conv
 
-    U0 = jnp.eye(Ns, dtype=cdt) if tracked else jnp.eye(N, dtype=cdt)
     (final, _), conv = jax.lax.scan(body, (init, U0), jnp.arange(Imax))
     return AdmmResult(
         S=final.S,

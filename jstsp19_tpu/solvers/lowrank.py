@@ -44,11 +44,35 @@ def svt(Y: jnp.ndarray, tau) -> jnp.ndarray:
     return (Yc @ V) * f[..., None, :] @ jnp.swapaxes(V.conj(), -2, -1)
 
 
-def mc_svt(OH: jnp.ndarray, Omega: jnp.ndarray, Imax: int, tau, rho) -> jnp.ndarray:
+def mc_svt(OH: jnp.ndarray, Omega: jnp.ndarray, Imax: int, tau, rho,
+           svt_method: str = "eigh", track_rounds: int = 1,
+           track_precision: str = "default") -> jnp.ndarray:
     """Cai–Candès–Shen SVT matrix completion (``mc_svt.m:7-10``).
 
     Iterates ``X = svt(Y, τ/ρ); Y += ρ(OH − Ω∘X)`` for ``Imax`` steps.
+    ``svt_method='tracked'`` replaces the per-iteration eigh with the
+    warm-started rotation chain (``ops/tracked.py`` — the flagship ADMM's
+    SVT machinery; the Y iterate drifts slowly, so one rotation round per
+    step keeps the basis converged).  Measured on-chip at the canonical
+    TSSR/SVT configs: NMSE equal to eigh, ~3-4× faster (PERF.md round 4).
     """
+    if svt_method == "tracked":
+        from jstsp19_tpu.ops.tracked import make_tracked_svt
+
+        N, M = OH.shape[-2], OH.shape[-1]
+        U0, step = make_tracked_svt(
+            N, M, OH.dtype, track_rounds, track_precision
+        )
+
+        def body(carry, i):
+            Y, U = carry
+            X, U = step(Y, tau / rho, U, i)
+            return (Y + rho * (OH - Omega * X), U), None
+
+        (Y, U), _ = jax.lax.scan(
+            body, (jnp.zeros_like(OH), U0), jnp.arange(Imax)
+        )
+        return step(Y, tau / rho, U, Imax)[0]
 
     def body(_, Y):
         X = svt(Y, tau / rho)
@@ -65,25 +89,48 @@ def mc_admm(
     Imax: int,
     tau,
     rho,
+    svt_method: str = "eigh",
+    track_rounds: int = 1,
+    track_precision: str = "default",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """ADMM matrix completion (``mc_admm.m``), returning (X, NMSE-per-iter).
 
     The reference's (Mr·Mt)² mask normal matrix (``mc_admm.m:11-17``) is
     diagonal — the solve collapses to an elementwise division by
-    ``Ω + ρ``.
+    ``Ω + ρ``.  ``svt_method='tracked'``: warm-started eigh-free SVT
+    (``ops/tracked.py``), as in :func:`mc_svt` — note the basis-tracking
+    fidelity depends on how fast the SVT input drifts per iteration: for
+    very small ρ the dual swings can outpace one rotation round per step
+    (raise ``track_rounds``); at the canonical driver's ρ the tracked path
+    matches eigh to ~1e-4 (tests/test_solvers_lowrank.py).
     """
     denom = Omega + rho
+    tracked = svt_method == "tracked"
+    if tracked:
+        from jstsp19_tpu.ops.tracked import make_tracked_svt
 
-    def body(carry, _):
-        _, Y, Z = carry
-        X = svt(Y - Z / rho, tau / rho)
+        N, M = OH.shape[-2], OH.shape[-1]
+        U0, step = make_tracked_svt(
+            N, M, OH.dtype, track_rounds, track_precision
+        )
+    else:
+        U0 = jnp.zeros((), OH.dtype)
+
+    def body(carry, i):
+        _, Y, Z, U = carry
+        if tracked:
+            X, U = step(Y - Z / rho, tau / rho, U, i)
+        else:
+            X = svt(Y - Z / rho, tau / rho)
         Ynew = (OH + Z + rho * X) / denom
         Znew = Z + rho * (X - Ynew)
         # Per-iteration NMSE vs ground truth (`mc_admm.m:26`); Frobenius here
         # (the reference's spectral norm would cost an extra eigh per step).
         err = jnp.sum(jnp.abs(X - Htrue) ** 2) / jnp.sum(jnp.abs(Htrue) ** 2)
-        return (X, Ynew, Znew), err
+        return (X, Ynew, Znew, U), err
 
     z = jnp.zeros_like(OH)
-    (X, _, _), errs = jax.lax.scan(body, (z, z, z), None, length=Imax)
+    (X, _, _, _), errs = jax.lax.scan(
+        body, (z, z, z, U0), jnp.arange(Imax)
+    )
     return X, errs

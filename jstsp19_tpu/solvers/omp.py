@@ -37,11 +37,21 @@ class OmpResult(NamedTuple):
 def omp_gram(AhA: jnp.ndarray, Ahv: jnp.ndarray, m: int) -> OmpResult:
     """OMP core on a precomputed dictionary Gram ``AhA`` (n, n) and
     correlation vector ``Ahv`` (n,) — the dictionary itself never appears,
-    so implicit (e.g. Kronecker) dictionaries plug in directly."""
+    so implicit (e.g. Kronecker) dictionaries plug in directly.
+
+    The LS refit maintains the ACTIVE-Gram inverse by the bordered
+    (Schur-complement) rank-1 update — O(m²) per greedy step instead of a
+    fresh O(m³) solve (the same progressive-update idea as the reference's
+    Cholesky-updating ``ompbox10`` MEX core, here in inverse form with
+    static shapes: the inverse lives in an (m, m) buffer that is identity
+    on inactive slots, so every step is fixed-shape masked VPU math).
+    Measured ~5× on the TD-OMP family on-chip (PERF.md round 4).
+    """
     n = AhA.shape[0]
+    rdt = jnp.finfo(AhA.dtype).dtype if jnp.iscomplexobj(AhA) else AhA.dtype
 
     def body(t, carry):
-        idx, coef = carry
+        idx, coef, inv = carry
         # residual correlations via the Gram: Aᴴr = Aᴴv − AhA[:, idx]·coef
         corr = Ahv - (AhA[:, idx] * coef[None, :]).sum(-1)
         # mask out already-selected atoms (only first t slots are valid)
@@ -51,15 +61,26 @@ def omp_gram(AhA: jnp.ndarray, Ahv: jnp.ndarray, m: int) -> OmpResult:
         )
         score = jnp.where(sel_mask, -jnp.inf, jnp.abs(corr))
         new = jnp.argmax(score).astype(jnp.int32)
+        # bordered-inverse update: G_act grows by row/col g = AhA[idx, new]
+        g = jnp.where(slot_valid, AhA[idx, new], 0.0)
+        u = inv @ g  # = G_act⁻¹ g on active slots, 0 elsewhere
+        d = AhA[new, new].real
+        s = jnp.maximum(
+            d - jnp.real(jnp.vdot(g, u)), jnp.asarray(1e-12, rdt)
+        ).astype(AhA.dtype)
+        inv = inv + jnp.outer(u, u.conj()) / s
+        row_t = jnp.where(slot_valid, -u.conj() / s, 0.0).at[t].set(1.0 / s)
+        inv = inv.at[t, :].set(row_t)
+        inv = inv.at[:, t].set(row_t.conj()).at[t, t].set(1.0 / s)
         idx = idx.at[t].set(new)
         active = jnp.arange(m) <= t
-        Gsel = AhA[idx[:, None], idx[None, :]]
-        coef = _masked_ls(Gsel, Ahv[idx], active)
-        return idx, coef
+        coef = inv @ jnp.where(active, Ahv[idx], 0.0)
+        return idx, coef, inv
 
     idx0 = jnp.zeros((m,), jnp.int32)
     coef0 = jnp.zeros((m,), AhA.dtype)
-    idx, coef = jax.lax.fori_loop(0, m, body, (idx0, coef0))
+    inv0 = jnp.eye(m, dtype=AhA.dtype)
+    idx, coef, _ = jax.lax.fori_loop(0, m, body, (idx0, coef0, inv0))
     x = jnp.zeros((n,), AhA.dtype).at[idx].add(coef)
     return OmpResult(x=x, support=idx)
 
@@ -110,6 +131,14 @@ def omp_mmv(A: jnp.ndarray, V: jnp.ndarray, m: int) -> OmpResult:
     T = V.shape[1]
     AhA = A.conj().T @ A
     AhV = A.conj().T @ V  # (n, T)
+
+    if m >= n:
+        # The spx saturation regime (`plot_errorVSsnr.m:116-121` passes
+        # numOfnz >= Gr): every atom enters the support, so the greedy loop
+        # reduces to one full LS refit in a permuted order — solve it
+        # directly (same X up to the scatter permutation); ~7x on chip.
+        coef = _masked_ls(AhA, AhV, jnp.ones((n,), bool))
+        return OmpResult(x=coef, support=jnp.arange(n, dtype=jnp.int32))
 
     def body(t, carry):
         idx, coef = carry

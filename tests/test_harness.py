@@ -146,3 +146,17 @@ def test_rate_vs_framelength_increases_with_T():
     prop = res.curves["proposed"]
     assert prop[-1] > prop[0]
     assert res.curves["proposed"][-1] >= res.curves["ls"][-1] - 1e-6
+
+
+def test_rank_r_quirks_spectra_drop_at_marker():
+    """Under the quirks ensemble the tap-1 steering reuse caps the stacked
+    beamspace rank at Np, so the noiseless-observation singular values must
+    vanish beyond min(Np, L*Nt) — the committed fig's rank markers
+    (plot_rankR.m:59-61)."""
+    res = get_experiment("rank_r_quirks")(
+        n_mc=2, geometries=((32, 32, 4, 2, 3),)
+    )
+    for L, marker in ((1, 4), (4, 6), (8, 6)):
+        sv = np.asarray(res.curves[f"Nr32_Mre32_Np6_L{L}"])
+        assert sv[marker] < 1e-3 * sv[0], (L, sv[:10] / sv[0])
+        assert sv[marker - 1] > 1e-3 * sv[0]

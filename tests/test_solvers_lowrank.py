@@ -96,3 +96,54 @@ def test_sparse_admm_recovers_sparse_beamspace(key):
     )
     assert nmse < 0.05
     assert errs[-1] < 0.05
+
+
+def test_mc_svt_tracked_matches_eigh():
+    """The warm-started tracked SVT inside matrix completion (round 4,
+    ops/tracked.py) must reproduce the eigh path — same contract as the
+    flagship ADMM's tracked chain."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    N, M = 16, 40
+    L = (rng.standard_normal((N, 3)) + 1j * rng.standard_normal((N, 3)))
+    R = (rng.standard_normal((3, M)) + 1j * rng.standard_normal((3, M)))
+    X0 = jnp.asarray(L @ R / 3, jnp.complex64)
+    Om = jnp.asarray(rng.uniform(size=(N, M)) < 0.6, jnp.complex64)
+    OH = Om * X0
+    tau = 1.0 / float(jnp.sum(jnp.abs(OH) ** 2))
+    a = jax.jit(lambda: mc_svt(OH, Om, 60, tau, 0.1))()
+    b = jax.jit(lambda: mc_svt(OH, Om, 60, tau, 0.1, svt_method="tracked"))()
+    # the Y iterate accumulates to O(3) here — compare relative to its scale
+    scale = float(np.abs(np.asarray(a)).max())
+    np.testing.assert_allclose(
+        np.asarray(a) / scale, np.asarray(b) / scale, atol=3e-4
+    )
+
+
+def test_mc_admm_tracked_matches_eigh():
+    """Tracked SVT inside mc_admm on the canonical-config completion
+    problem (the configuration bench_all times): end-to-end NMSE must
+    match the eigh path.  (Basis-tracking fidelity depends on how fast the
+    SVT input drifts — for tiny rho the dual swings outpace one rotation
+    round per step; the canonical driver's rho tracks to ~1e-4.)"""
+    from jstsp19_tpu.core import prng
+    from jstsp19_tpu.core.metrics import clamped_nmse
+    from jstsp19_tpu.harness.pipeline import PointConfig, _proposed_frontend
+    from jstsp19_tpu.solvers import ls_estimate
+
+    pc = PointConfig()
+    nv = jnp.asarray(1.0, jnp.float32)
+
+    def one(key, method):
+        ch, obs, A, B, tau, tauS, rho = _proposed_frontend(key, pc, nv)
+        X, _ = mc_admm(obs.Y_full, obs.Y, obs.Omega, pc.Imax, tau, rho,
+                       svt_method=method)
+        return clamped_nmse(ls_estimate(X, A, B), ch.Zbar)
+
+    keys = prng.realization_keys(prng.experiment_key(0), 0, 4)
+    outs = {
+        m: np.asarray(jax.jit(jax.vmap(lambda k: one(k, m)))(keys))
+        for m in ("eigh", "tracked")
+    }
+    np.testing.assert_allclose(outs["tracked"], outs["eigh"], atol=1e-3)
