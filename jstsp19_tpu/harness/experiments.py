@@ -623,7 +623,14 @@ def time_comparisons(n_mc=4, seed=0, mesh=None, reps=3, **kw):
     t0 = time.time()
     curves: Dict[str, list] = {}
     for method in ("ls", "vamp", "omp_mmv", "proposed", "proposed_angles", "svt", "tssr"):
-        pc = PointConfig(methods=(method,))
+        # each family at its fastest kernel configuration (as bench_all.py):
+        # tracked SVT wherever an SVT sits in the loop
+        pc = PointConfig(
+            methods=(method,),
+            svt_method="tracked"
+            if method.startswith("proposed") or method in ("svt", "tssr")
+            else "eigh",
+        )
         run_point(pc, _nv(0), n_mc, seed=seed, mesh=mesh)  # compile + warm
         best = np.inf
         for _ in range(reps):
