@@ -25,13 +25,10 @@ import time
 
 import jax
 
-# Persistent compilation cache: the tunneled TPU backend's remote-compile
-# path is intermittently very slow; caching compiled executables on disk
-# makes repeat benchmark runs immune to that.
-os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# Persistent compilation cache (see jstsp19_tpu/utils/compile_cache.py).
+from jstsp19_tpu.utils.compile_cache import enable as _enable_cache
+
+_enable_cache()
 
 import jax.numpy as jnp
 

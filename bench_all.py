@@ -23,10 +23,9 @@ import time
 
 import jax
 
-os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+from jstsp19_tpu.utils.compile_cache import enable as _enable_cache
+
+_enable_cache()
 
 METHODS = (
     "ls", "vamp", "omp_mmv", "omp_td", "svt", "tssr", "mc_admm",
@@ -69,7 +68,9 @@ def main():
     import jax.numpy as jnp
 
     from jstsp19_tpu.core import prng
-    from jstsp19_tpu.harness.pipeline import PointConfig, realization_errors
+    from jstsp19_tpu.harness.pipeline import (
+        fastest_point_config, realization_errors,
+    )
 
     noise_var = jnp.asarray(1.0, jnp.float32)  # SNR 0 dB, as bench.py
     # partial --methods runs merge into an existing artifact
@@ -84,15 +85,7 @@ def main():
         if method == "mc_admm":
             run = jax.jit(jax.vmap(_mc_admm_errors, in_axes=(0, None)))
         else:
-            # tracked SVT wherever an SVT sits in the loop (flagship ADMM
-            # and the mc_svt-based svt/tssr families — round-4 extension);
-            # the rest are SVT-free
-            pc = PointConfig(
-                methods=(method,),
-                svt_method="tracked"
-                if method.startswith("proposed") or method in ("svt", "tssr")
-                else "eigh",
-            )
+            pc = fastest_point_config(method)
 
             def run_fn(keys, nv, pc=pc, method=method):
                 return jax.vmap(
@@ -118,6 +111,11 @@ def main():
             best_batch_seconds=round(best, 4),
             first_incl_compile_s=round(t_first, 2),
             mean_nmse_0db=round(nmse0, 5),
+            # per-row provenance: partial --methods runs merge into the
+            # artifact, so the batch/device a row was measured at lives on
+            # the row itself (top-level fields describe the LAST run only)
+            batch=ns.batch,
+            device=jax.devices()[0].device_kind,
         )
         print(
             f"[bench_all] {method:16s} {est_per_sec:9.1f} est/s "

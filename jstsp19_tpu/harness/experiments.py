@@ -136,13 +136,14 @@ def rate_vs_framelength(n_mc=8, seed=0, mesh=None, **kw):
     (unclamped) spectral NMSE (``plot_rateVSframelength.m:81,113,130,135``)
     — a deterministic function of each method's NMSE, the true beamspace
     channel and σ² (:func:`jstsp19_tpu.core.metrics.achievable_rate`).
+    Runs unsharded (like the other specialized recipes); ``mesh`` is
+    accepted for interface uniformity only.
     """
     from jstsp19_tpu.core.metrics import achievable_rate
     from jstsp19_tpu.harness.pipeline import realization_errors as _re
 
     methods = ("ls", "omp_mmv", "proposed", "proposed_angles")
     nv = _NV_FRAMELEN_NT_RATE
-    Nr = 32
     t0 = time.time()
     curves: Dict[str, list] = {}
     T_values = [5, 10, 15]
@@ -155,8 +156,9 @@ def rate_vs_framelength(n_mc=8, seed=0, mesh=None, **kw):
         def realization(key, noise_var, pc=pc):
             out = _re(key, pc, noise_var, clamp=False, with_zbar=True)
             Zbar = out.pop("Zbar")
+            # the reference normalizes by eye(Nr) (plot_rateVSframelength.m:81)
             return {
-                m: achievable_rate(Zbar, e, noise_var, Nr)
+                m: achievable_rate(Zbar, e, noise_var, pc.Nr)
                 for m, e in out.items()
             }
 
@@ -622,15 +624,10 @@ def time_comparisons(n_mc=4, seed=0, mesh=None, reps=3, **kw):
 
     t0 = time.time()
     curves: Dict[str, list] = {}
+    from jstsp19_tpu.harness.pipeline import fastest_point_config
+
     for method in ("ls", "vamp", "omp_mmv", "proposed", "proposed_angles", "svt", "tssr"):
-        # each family at its fastest kernel configuration (as bench_all.py):
-        # tracked SVT wherever an SVT sits in the loop
-        pc = PointConfig(
-            methods=(method,),
-            svt_method="tracked"
-            if method.startswith("proposed") or method in ("svt", "tssr")
-            else "eigh",
-        )
+        pc = fastest_point_config(method)
         run_point(pc, _nv(0), n_mc, seed=seed, mesh=mesh)  # compile + warm
         best = np.inf
         for _ in range(reps):

@@ -97,6 +97,19 @@ class PointConfig:
         return round(self.T / (self.Nr / self.Mr)) * self.Nt
 
 
+def fastest_point_config(method: str) -> PointConfig:
+    """One estimator family at its fastest kernel configuration — the
+    single source of truth for ``bench_all.py`` and the
+    ``time_comparisons`` recipe: tracked SVT (``ops/tracked.py``) wherever
+    an SVT sits inside the iteration loop, plain config otherwise."""
+    return PointConfig(
+        methods=(method,),
+        svt_method="tracked"
+        if method.startswith("proposed") or method in ("svt", "tssr")
+        else "eigh",
+    )
+
+
 def _dictionaries(ch, W_c, Psi):
     """A = W_cᴴ·Dr and the stacked per-tap B blocks ``Dtᴴ·Psi_l``
     (``plot_errorVSsnr.m:74-78``)."""

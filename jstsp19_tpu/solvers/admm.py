@@ -102,11 +102,12 @@ def proposed_admm(
     # eigh at the canonical config and 2.3x faster on-chip (PERF.md)
     track_rounds: int = 1,
     # matmul precision of the tracked chain's two matmuls (P = UᴴW and the
-    # reconstruction): "highest" (6-pass bf16 = exact f32), "high" (3-pass;
-    # measured NMSE-equal to eigh on-chip — the harness default), or
-    # "default" (1-pass; +4.6% throughput, same canonical-config NMSE —
-    # PERF.md r3).  The rotations themselves are exact VPU ops, so no
-    # precision setting can corrupt the carried basis U anymore.
+    # reconstruction): "highest" (6-pass bf16 = exact f32), "high"
+    # (3-pass), or "default" (1-pass; +4.4% over 'high' and NMSE-validated
+    # against eigh per-realization on every sweep shape — PERF.md r4; the
+    # harness default, PointConfig.track_precision).  The rotations
+    # themselves are exact VPU ops, so no precision setting can corrupt
+    # the carried basis U anymore.
     track_precision: str = "highest",
 ) -> AdmmResult:
     """Joint matrix-completion + beamspace-sparse ADMM.
@@ -136,10 +137,12 @@ def proposed_admm(
          that compiles to pure matmul scans; ~1e-3-accurate shrinkage),
          or 'tracked' (eigh-free warm-started spectral tracking: the
          Gram eigenbasis is carried across ADMM iterations and refreshed
-         with 8 Jacobi rotation rounds per iteration — the SVT inputs
-         X − V1/ρ drift slowly once the ADMM settles, so a partial sweep
-         per step keeps the basis converged at a fraction of eigh's
-         cost; requires even N ≤ M).
+         with ``track_rounds`` Jacobi rotation rounds per iteration — the
+         SVT inputs X − V1/ρ drift slowly once the ADMM settles, so a
+         partial sweep per step keeps the basis converged at a fraction
+         of eigh's cost; N > M inputs run on the transpose
+         (SVT(Xᵀ)ᵀ ≡ SVT(X), ops/tracked.py), so the only shape
+         requirement is an even thin dimension).
 
     Returns :class:`AdmmResult` (with the full final state for restarts).
     """

@@ -585,7 +585,12 @@ class TruthReporterPrior:
         return xhat, xvar
 
     def __getattr__(self, name):
-        # delegate estim_map / val_neg_kl / fields to the wrapped prior
+        # delegate estim_map / val_neg_kl / ... to the wrapped prior.
+        # Guard dunders and the own fields: during deepcopy/unpickling the
+        # instance exists before 'base' is set, and an unconditional
+        # delegate would recurse on the 'base' lookup itself.
+        if name.startswith("__") or name in ("base", "truth"):
+            raise AttributeError(name)
         return getattr(self.base, name)
 
 

@@ -138,7 +138,10 @@ def omp_mmv(A: jnp.ndarray, V: jnp.ndarray, m: int) -> OmpResult:
         # reduces to one full LS refit in a permuted order — solve it
         # directly (same X up to the scatter permutation); ~7x on chip.
         coef = _masked_ls(AhA, AhV, jnp.ones((n,), bool))
-        return OmpResult(x=coef, support=jnp.arange(n, dtype=jnp.int32))
+        # keep the documented (m,) support shape (clip-padded like the
+        # greedy loop's saturated tail) for shape-stable consumers
+        support = jnp.minimum(jnp.arange(m, dtype=jnp.int32), n - 1)
+        return OmpResult(x=coef, support=support)
 
     def body(t, carry):
         idx, coef = carry

@@ -37,16 +37,19 @@ sys.path.insert(0, REPO)
 
 
 def plot_gamp_history(hist, x_true=None, z_true=None, out_path="gamp_hist.png",
-                      title="GAMP iteration history"):
+                      title="GAMP iteration history", hist_intvl=1):
     """Render a gamp_est history dict (see module docstring).  ``hist``
     fields used: xhat, zhat, step, step_max (optional), passed, val, resid
-    — each with a leading iteration axis."""
+    — each with a leading iteration axis.  For decimated histories pass
+    the run's ``GampOptions.hist_intvl`` so the x-axis carries the TRUE
+    iteration numbers (entries are iterations intvl, 2·intvl, …)."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    it = np.arange(1, np.asarray(hist["xhat"]).shape[0] + 1)
+    n_kept = np.asarray(hist["xhat"]).shape[0]
+    it = hist_intvl * np.arange(1, n_kept + 1)
     fig, axes = plt.subplots(3, 1, figsize=(6.5, 8.0), sharex=True)
 
     ax = axes[0]

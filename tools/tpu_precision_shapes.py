@@ -23,10 +23,9 @@ sys.path.insert(0, "/root/repo")
 
 import jax
 
-os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+from jstsp19_tpu.utils.compile_cache import enable as _enable_cache
+
+_enable_cache()
 
 
 def log(m):
