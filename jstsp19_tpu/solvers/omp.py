@@ -65,13 +65,19 @@ def omp_gram(AhA: jnp.ndarray, Ahv: jnp.ndarray, m: int) -> OmpResult:
         g = jnp.where(slot_valid, AhA[idx, new], 0.0)
         u = inv @ g  # = G_act⁻¹ g on active slots, 0 elsewhere
         d = AhA[new, new].real
-        s = jnp.maximum(
-            d - jnp.real(jnp.vdot(g, u)), jnp.asarray(1e-12, rdt)
-        ).astype(AhA.dtype)
+        s_raw = d - jnp.real(jnp.vdot(g, u))
+        # rank guard: an atom (numerically) inside the active span has
+        # Schur complement ~0 — inverting it would explode the inverse, so
+        # give the redundant slot a ZERO row/column instead (its coef stays
+        # 0 and later updates proceed on the independent subset)
+        tiny = s_raw <= 1e-6 * jnp.maximum(d, jnp.asarray(1e-30, rdt))
+        s = jnp.where(tiny, jnp.asarray(1.0, rdt), s_raw).astype(AhA.dtype)
+        u = jnp.where(tiny, 0.0, u)
         inv = inv + jnp.outer(u, u.conj()) / s
-        row_t = jnp.where(slot_valid, -u.conj() / s, 0.0).at[t].set(1.0 / s)
+        inv_tt = jnp.where(tiny, 0.0, 1.0 / s)
+        row_t = jnp.where(slot_valid, -u.conj() / s, 0.0).at[t].set(inv_tt)
         inv = inv.at[t, :].set(row_t)
-        inv = inv.at[:, t].set(row_t.conj()).at[t, t].set(1.0 / s)
+        inv = inv.at[:, t].set(row_t.conj()).at[t, t].set(inv_tt)
         idx = idx.at[t].set(new)
         active = jnp.arange(m) <= t
         coef = inv @ jnp.where(active, Ahv[idx], 0.0)

@@ -105,3 +105,23 @@ def test_omp_td_equals_explicit_kron_omp(key):
     np.testing.assert_allclose(
         np.asarray(res.x), np.asarray(S), atol=1e-4
     )
+
+
+def test_omp_gram_degenerate_atoms_guarded():
+    """Duplicate (perfectly collinear) atoms make the bordered-Schur
+    complement s -> 0; the 1e-12 clamp must keep the progressive inverse
+    finite and the recovery exact on the distinct-atom subproblem."""
+    rng = np.random.default_rng(5)
+    M, n = 24, 12
+    A_half = rng.standard_normal((M, n // 2)) + 1j * rng.standard_normal((M, n // 2))
+    A = jnp.asarray(np.concatenate([A_half, A_half], axis=1) / np.sqrt(2 * M),
+                    jnp.complex64)  # columns j and j+6 identical
+    x = np.zeros(n, complex)
+    x[1] = 2.0
+    x[4] = -1.0 + 0.5j
+    v = A @ jnp.asarray(x, jnp.complex64)
+    res = omp(A, v, 6)
+    assert bool(jnp.all(jnp.isfinite(res.x.real) & jnp.isfinite(res.x.imag)))
+    # reconstruction must be exact even though the support may land on
+    # either duplicate of each atom
+    assert float(jnp.linalg.norm(A @ res.x - v) / jnp.linalg.norm(v)) < 1e-4
