@@ -1,7 +1,7 @@
 """Smoke tests: every worked demo in examples/ runs end-to-end.
 
 The reference ships 52 runnable demos under ``MPbased_solvers/examples/``
-(and a GUI launcher, ``GUI/``); the analog here is the 19 scripts in
+(and a GUI launcher, ``GUI/``); the analog here is the 20 scripts in
 ``examples/`` plus the ``python -m jstsp19_tpu demo`` launcher.  A
 regression in any of them should fail the suite, not ship silently
 (VERDICT r2 Weak #7).
