@@ -160,3 +160,15 @@ def test_rank_r_quirks_spectra_drop_at_marker():
         sv = np.asarray(res.curves[f"Nr32_Mre32_Np6_L{L}"])
         assert sv[marker] < 1e-3 * sv[0], (L, sv[:10] / sv[0])
         assert sv[marker - 1] > 1e-3 * sv[0]
+
+
+def test_fastest_point_config_kernel_choices():
+    """bench_all and time_comparisons share one source of truth for each
+    family's fastest kernel configuration."""
+    from jstsp19_tpu.harness.pipeline import fastest_point_config
+
+    for m in ("proposed", "proposed_angles", "svt", "tssr"):
+        assert fastest_point_config(m).svt_method == "tracked", m
+    for m in ("ls", "vamp", "omp_mmv", "omp_td"):
+        assert fastest_point_config(m).svt_method == "eigh", m
+        assert fastest_point_config(m).methods == (m,)
