@@ -45,6 +45,7 @@ ENV_NPROC = "JSTSP19_DIST_NPROC"
 ENV_PID = "JSTSP19_DIST_PID"
 ENV_LOCAL_DEVICES = "JSTSP19_DIST_LOCAL_DEVICES"
 ENV_PIN = "JSTSP19_DIST_PIN"
+ENV_PIN_CORES = "JSTSP19_DIST_PIN_CORES"
 
 
 def initialize(
@@ -88,8 +89,11 @@ def initialize_from_env() -> int:
     ndev = int(os.environ.get(ENV_LOCAL_DEVICES, "1"))
     if os.environ.get(ENV_PIN) and hasattr(os, "sched_setaffinity"):
         cores = sorted(os.sched_getaffinity(0))
-        per = len(cores) // nproc
-        if per >= 1:
+        # JSTSP19_DIST_PIN_CORES fixes the per-process slice width (so a
+        # 1-process baseline gets the same hardware as each of N workers
+        # in a weak-scaling comparison); default = equal split.
+        per = int(os.environ.get(ENV_PIN_CORES, "0")) or len(cores) // nproc
+        if per >= 1 and pid * per < len(cores):
             os.sched_setaffinity(0, set(cores[pid * per : (pid + 1) * per]))
     initialize(coord, nproc, pid, local_device_count=ndev)
     return pid
