@@ -520,9 +520,11 @@ def rank_r(n_mc=16, seed=0, mesh=None, geometries=None, channel_quirks=False,
         list(range(1, 1 + min(len(c) for c in curves.values()))),
         curves, n_mc, time.time() - t0,
     )
+    # marker per geometry (min(Np, L·Nt) with THAT geometry's Nt —
+    # identical keys collapse only when the marker value agrees)
     res.extras["rank_marker"] = {
-        f"Np{Np}": {f"L{L}": min(Np, L * 4) for L in L_values}
-        for Np in sorted({c * r for (_, _, _, c, r) in geometries})
+        f"Np{c * r}_Nt{Nt}": {f"L{L}": min(c * r, L * Nt) for L in L_values}
+        for (_, _, Nt, c, r) in geometries
     }
     res.extras["channel_quirks"] = channel_quirks
     return res

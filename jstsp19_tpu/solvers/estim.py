@@ -537,7 +537,17 @@ class AwbgnLikelihood:
 
     def loglike(self, zhat, zvar):
         """Lower-bound output cost of the reference (``AwbgnEstimOut.m:96-103``):
-        treat the channel as AWGN(wvar) scaled by λ."""
+        treat the channel as AWGN(wvar) scaled by λ.
+
+        Deliberate deviation from the cited lines: the reference divides
+        the ENTIRE bracket — including the ``log(2π)+log(wvar)`` terms —
+        by ``wvar`` (a parenthesization slip that rescales the constant
+        terms of the Gaussian log-density); here only the quadratic term
+        is divided by ``wvar``, which is the correct AWGN log-likelihood.
+        The cost is only used for step acceptance / adaptive damping, so
+        the slip shifts the reference's cost by a zhat-independent offset
+        scaled 1/wvar; this form keeps the documented lower-bound
+        semantics exact."""
         wv = jnp.maximum(self.wvar, 1e-20)
         return jnp.sum(
             -0.5 * (jnp.log(2 * jnp.pi) + jnp.log(wv)

@@ -49,7 +49,10 @@ def mc_svt(OH: jnp.ndarray, Omega: jnp.ndarray, Imax: int, tau, rho,
            track_precision: str = "default") -> jnp.ndarray:
     """Cai–Candès–Shen SVT matrix completion (``mc_svt.m:7-10``).
 
-    Iterates ``X = svt(Y, τ/ρ); Y += ρ(OH − Ω∘X)`` for ``Imax`` steps.
+    Iterates ``X = svt(Y, τ/ρ); Y += ρ(OH − Ω∘X)`` and returns the ``X``
+    of the ``Imax``-th loop body — i.e. ``svt`` of ``Y`` after ``Imax−1``
+    updates, exactly the reference's returned iterate (the reference's
+    final ``Y`` update is computed but discarded there; skipped here).
     ``svt_method='tracked'`` replaces the per-iteration eigh with the
     warm-started rotation chain (``ops/tracked.py`` — the flagship ADMM's
     SVT machinery; the Y iterate drifts slowly, so one rotation round per
@@ -70,15 +73,15 @@ def mc_svt(OH: jnp.ndarray, Omega: jnp.ndarray, Imax: int, tau, rho,
             return (Y + rho * (OH - Omega * X), U), None
 
         (Y, U), _ = jax.lax.scan(
-            body, (jnp.zeros_like(OH), U0), jnp.arange(Imax)
+            body, (jnp.zeros_like(OH), U0), jnp.arange(Imax - 1)
         )
-        return step(Y, tau / rho, U, Imax)[0]
+        return step(Y, tau / rho, U, Imax - 1)[0]
 
     def body(_, Y):
         X = svt(Y, tau / rho)
         return Y + rho * (OH - Omega * X)
 
-    Y = jax.lax.fori_loop(0, Imax, body, jnp.zeros_like(OH))
+    Y = jax.lax.fori_loop(0, Imax - 1, body, jnp.zeros_like(OH))
     return svt(Y, tau / rho)
 
 

@@ -109,7 +109,8 @@ def test_omp_td_equals_explicit_kron_omp(key):
 
 def test_omp_gram_degenerate_atoms_guarded():
     """Duplicate (perfectly collinear) atoms make the bordered-Schur
-    complement s -> 0; the 1e-12 clamp must keep the progressive inverse
+    complement s_raw -> 0; the relative rank guard (s_raw <= 1e-6 ·
+    max(d, 1e-30) freezes the update) must keep the progressive inverse
     finite and the recovery exact on the distinct-atom subproblem."""
     rng = np.random.default_rng(5)
     M, n = 24, 12
