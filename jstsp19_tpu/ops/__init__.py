@@ -27,4 +27,6 @@ from jstsp19_tpu.ops.structured import (  # noqa: F401
     random_unitary_op,
     expander_graph_op,
     rbf_kernel_op,
+    sparse_signed_op,
+    genie_normal_matvec,
 )

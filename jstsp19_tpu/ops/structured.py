@@ -693,3 +693,45 @@ def fxnhandle_op(mv_fn, rmv_fn, in_shape, out_shape, fro2=None, key=None,
         mv_fn=mv_fn, rmv_fn=rmv_fn, shape_in=tuple(in_shape),
         shape_out=tuple(out_shape), fro2=jnp.asarray(fro2),
     )
+
+
+# ---------------------------------------------------------------------------
+# main/ utility stragglers (round 5): genSparseMat + pcgHelper analogs.
+# ---------------------------------------------------------------------------
+
+def sparse_signed_op(key, nz: int, nx: int, d: int) -> MatrixOp:
+    """Sparse signed measurement matrix of ``main/genSparseMat.m``: an
+    ``nz × nx`` matrix with exactly ``d`` nonzeros per column at distinct
+    uniform-random rows, each valued ``±√(nz/(d·nx))`` with a random sign
+    (``genSparseMat.m:8-24`` — the reference's rejection loop over row
+    indices becomes a per-column permutation prefix, its ``sign(rand-0.5)``
+    a Rademacher draw).  Dense storage: on TPU a small ±pattern matmul on
+    the MXU beats gather/scatter sparsity (same trade as
+    :func:`expander_graph_op`)."""
+    kp, ks = jax.random.split(key)
+    rows = jax.vmap(lambda k: jax.random.permutation(k, nz)[:d])(
+        jax.random.split(kp, nx)
+    )
+    signs = jax.random.rademacher(ks, (nx, d), jnp.float32)
+    scale = np.sqrt(nz / (d * nx))
+    A = jnp.zeros((nz, nx)).at[rows.T, jnp.arange(nx)[None, :]].set(
+        signs.T * scale
+    )
+    return MatrixOp(A)
+
+
+def genie_normal_matvec(A: LinOp, reg, support):
+    """Matvec of ``(A_S·A_Sᴴ + reg·I)`` for an implicit operator and a
+    support mask S (``main/pcgHelper.m:1-18``): the adjoint image is
+    zeroed off-support before the forward map, so genie/oracle LMMSE
+    systems can be solved matrix-free with conjugate gradients
+    (reference usage: ``examples/sparseEstim/muGampExample.m:92-101``
+    under MATLAB ``pcg``; here pair with
+    ``jax.scipy.sparse.linalg.cg`` — the returned closure is jittable)."""
+
+    def mv(x):
+        r = A.rmv(x)
+        r = jnp.where(support, r, jnp.zeros_like(r))
+        return A.mv(r) + reg * x
+
+    return mv

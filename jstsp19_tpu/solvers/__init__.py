@@ -101,6 +101,7 @@ from jstsp19_tpu.solvers.gamp_se import (  # noqa: F401
     estim_in_avg,
     gamp_se,
     bg_sampler,
+    s_transform,
 )
 from jstsp19_tpu.solvers.hutamp import hutamp  # noqa: F401
 from jstsp19_tpu.solvers.em import em_bg_vamp, em_gm_vamp, em_nngm_gamp  # noqa: F401

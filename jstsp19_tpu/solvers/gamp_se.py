@@ -161,3 +161,50 @@ def bg_sampler(p1: float, var0: float = 1.0, cplx: bool = False) -> Callable:
         return jnp.where(act, g, 0.0)
 
     return sample
+
+
+def s_transform(y, eigs, N: int, nit: int = 60):
+    """S-transform of an N×N PSD Hermitian matrix with eigenvalues ``eigs``
+    (``main/s_transform.m``, bisection branch): for y ∈ [−R/N, 0],
+
+        S(y) = −(y+1)/y · η⁻¹(1+y),   η(γ) = mean(1/(1+λ·γ))
+
+    over the zero-padded spectrum (R = rank).  The reference uses this in
+    ``ampEst.m:221-268`` / ``Mini_AMP.m`` for the exact-rvar AMP mode on
+    unitarily-invariant (non-i.i.d.) ensembles — the capability this
+    framework covers via ``vamp_slm``'s LMMSE stage, so here the transform
+    is exposed as a standalone spectral utility (SE analysis / oracle
+    checks).  Vectorized over ``y``; fixed-count bisection → jit-friendly.
+    Endpoints follow the reference: S(0)=1, S(−R/N)=inf; inputs outside
+    [−R/N, 0] return NaN (the reference raises)."""
+    y = jnp.asarray(y, jnp.float32)
+    lam = jnp.zeros((N,), jnp.float32).at[: len(eigs)].set(
+        jnp.asarray(eigs, jnp.float32)
+    )
+    pos = lam > 0
+    R = jnp.sum(pos)
+    lam_mean = jnp.mean(lam)
+    inv_mean = jnp.sum(jnp.where(pos, 1.0 / jnp.where(pos, lam, 1.0), 0.0)) / R
+
+    def eta(gam):
+        return jnp.mean(1.0 / (1.0 + lam[..., :] * gam[..., None]), axis=-1)
+
+    rn = R / N
+    interior = (y > -rn) & (y < 0)
+    ys = jnp.where(interior, y, -0.5 * rn)  # safe stand-in for the masked lanes
+    lo = (1.0 / (1.0 + ys) - 1.0) / lam_mean
+    hi = inv_mean / (ys + rn)
+
+    def body(_, carry):
+        lo, hi = carry
+        gam = 0.5 * (lo + hi)
+        too_big = eta(gam) < 1.0 + ys
+        return jnp.where(too_big, lo, gam), jnp.where(too_big, gam, hi)
+
+    lo, hi = jax.lax.fori_loop(0, nit, body, (lo, hi))
+    gam = 0.5 * (lo + hi)
+    s = -(ys + 1.0) / ys * gam
+    out = jnp.where(interior, s, jnp.nan)
+    out = jnp.where(y == 0, 1.0, out)
+    out = jnp.where(y == -rn, jnp.inf, out)
+    return out
