@@ -90,6 +90,12 @@ class GampOptions:
     # derive xvar0 from a good point estimate xhat0 by the estimInvert
     # fixed point (``GampOpt.m:128-132``, ``gampEst.m:292-330``)
     xvar0auto: bool = False
+    # custom stopping criterion (``GampOpt.stopFcn``/``stopFcn2``,
+    # GampOpt.m:80-93): a JITTABLE callable ``state -> bool scalar``;
+    # True freezes the iteration (same mechanism as tol/stepTol).  The
+    # stopFcn form's arguments (val, xhat, xhatPrev, Axhat) are the
+    # state's ``val``/``xhat_final``/``xhat_prev_final``/``axhat_final``.
+    stop_fn: Optional[object] = None
 
 
 class GampState(NamedTuple):
@@ -308,6 +314,14 @@ def _gamp_scan(prior, op, state: GampState, opts: GampOptions, column_norms):
         return jnp.zeros((), jnp.float32)
 
     def body(st: GampState, _):
+        if opts.stop_fn is not None:
+            # custom stopping criterion (``GampOpt.stopFcn``/``stopFcn2``,
+            # GampOpt.m:80-93): a jittable callable over the completed
+            # state, evaluated at loop top so a True freezes this body
+            # entirely — the fixed-shape analog of the reference's
+            # ``break`` (the stopFcn arguments val/xhat/xhatPrev/Axhat
+            # are the state's val/xhat_final/xhat_prev_final/axhat_final)
+            st = st._replace(stopped=st.stopped | opts.stop_fn(st))
         like = st.likelihood
         # ---- output linear stage (gampEst.m:404-433) ----
         a2xvar = op.sq_mv(st.xvar)

@@ -271,3 +271,20 @@ def test_xvar0auto_from_good_point_estimate():
         prior, like, op, opts, x_init=jnp.asarray(x, jnp.complex64)
     )
     assert _nmse(estfin.xhat, x) < 1e-2
+
+
+def test_stop_fn_custom_criterion():
+    """GampOpt.stopFcn/stopFcn2 analog: a jittable state -> bool callable
+    freezes the iteration exactly like tol/stepTol.  Stopping at it >= 10
+    must reproduce the nit=10 run's estimate bit-for-bit, and the
+    reported nit must stay at 10 even though the scan length is 80."""
+    prior, like, op, x = _bg_problem(seed=3)
+    stop = lambda st: st.it >= 10  # noqa: E731
+    fin_stop, _, _ = gamp_est(
+        prior, like, op, GampOptions(nit=80, tol=-1.0, stop_fn=stop)
+    )
+    fin_10, _, _ = gamp_est(prior, like, op, GampOptions(nit=10, tol=-1.0))
+    assert int(fin_stop.nit) == 10
+    np.testing.assert_array_equal(
+        np.asarray(fin_stop.xhat), np.asarray(fin_10.xhat)
+    )
