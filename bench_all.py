@@ -108,6 +108,9 @@ def main():
         est_per_sec = ns.batch / best
         rows[method] = dict(
             est_per_sec=round(est_per_sec, 1),
+            # ratio vs the single-workstation MATLAB reference estimate
+            # (1 est/s at the flagship config — bench.py docstring)
+            vs_matlab=round(est_per_sec / 1.0, 1),
             best_batch_seconds=round(best, 4),
             first_incl_compile_s=round(t_first, 2),
             mean_nmse_0db=round(nmse0, 5),

@@ -73,7 +73,58 @@ def main(argv=None):
         help="comma-separated estimator subset (e.g. proposed,vamp,omp_td) "
         "for recipes that accept it",
     )
+    runp.add_argument(
+        "--distributed",
+        type=int,
+        default=0,
+        metavar="N",
+        help="run the sweep over N jax.distributed processes on this host "
+        "(CPU workers; the MC axis is sharded across process boundaries "
+        "and process 0 writes the artifacts). On a TPU pod, start the "
+        "same command on every host under the cluster launcher instead.",
+    )
+    runp.add_argument(
+        "--devices-per-process",
+        type=int,
+        default=1,
+        help="virtual CPU devices per distributed worker (with --distributed)",
+    )
     args = parser.parse_args(argv)
+
+    if args.cmd == "run":
+        import os as _os
+
+        from jstsp19_tpu.parallel.distributed import ENV_PID
+
+        if ENV_PID in _os.environ:
+            # we are a distributed worker: join the SPMD program before any
+            # other JAX work and route run_point through the global mesh
+            from jstsp19_tpu.harness.runner import set_distributed_mesh
+            from jstsp19_tpu.parallel.distributed import (
+                global_mc_mesh,
+                initialize_from_env,
+            )
+
+            initialize_from_env()
+            set_distributed_mesh(global_mc_mesh())
+            args.cpu = False  # platform already forced by initialize
+        elif args.distributed > 0:
+            # we are the launcher: spawn N workers running this same
+            # command (minus the launcher flags) under the env protocol
+            from jstsp19_tpu.parallel.launch import launch
+
+            raw = list(sys.argv[1:] if argv is None else argv)
+            for flag in ("--distributed", "--devices-per-process"):
+                while flag in raw:
+                    i = raw.index(flag)
+                    del raw[i : i + 2]
+            results = launch(
+                args.distributed,
+                ["-m", "jstsp19_tpu", *raw],
+                devices_per_process=args.devices_per_process,
+            )
+            sys.stdout.write(results[0].stdout)
+            return 0
 
     if args.cmd == "list":
         from jstsp19_tpu.harness import EXPERIMENTS
@@ -157,8 +208,11 @@ def main(argv=None):
                     file=sys.stderr,
                 )
         res = EXPERIMENTS[name](**kwargs)
-        path = save_result(res, args.out, plot=not args.no_plot)
-        print(f"[{name}] wrote {path} ({res.seconds:.1f}s)")
+        import jax
+
+        if jax.process_index() == 0:
+            path = save_result(res, args.out, plot=not args.no_plot)
+            print(f"[{name}] wrote {path} ({res.seconds:.1f}s)")
     return 0
 
 

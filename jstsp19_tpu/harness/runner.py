@@ -79,6 +79,20 @@ def _compiled_point(pc: PointConfig, with_taps: bool = False):
     return run
 
 
+# process-wide multi-process mode: when set (by the CLI's --distributed
+# worker path or any jax.distributed program), run_point routes through
+# the cross-process SPMD runner and sweep-side writes are gated to
+# process 0.
+_DISTRIBUTED = {"mesh": None}
+
+
+def set_distributed_mesh(mesh: Optional[Mesh]) -> None:
+    """Route subsequent :func:`run_point` calls through the multi-process
+    backend (``parallel/distributed.py``) on ``mesh`` (a global mesh over
+    every process's devices); ``None`` restores single-process mode."""
+    _DISTRIBUTED["mesh"] = mesh
+
+
 def default_mesh(axis: str = "mc") -> Optional[Mesh]:
     devs = jax.devices()
     if len(devs) <= 1:
@@ -99,6 +113,23 @@ def run_point(
 
     ``taps``: optional (n_mc, L, Nr, Nt) externally supplied channels
     (NYU-Wireless ingestion) replacing the synthetic generator."""
+    dmesh = _DISTRIBUTED["mesh"]
+    if dmesh is not None and mesh is None:
+        if taps is None and pc.svt_method != "pallas":
+            from jstsp19_tpu.parallel.distributed import distributed_run_point
+
+            return distributed_run_point(
+                pc, noise_var, n_mc, seed=seed, sweep_index=sweep_index,
+                mesh=dmesh,
+            )
+        # external taps / fused-Pallas batches have no cross-process path;
+        # every process computes the full batch redundantly (correct
+        # output on process 0, no speedup)
+        print(
+            "[runner] distributed mode: taps/pallas point runs redundantly "
+            "per process",
+            flush=True,
+        )
     root = prng.experiment_key(seed)
     keys = prng.realization_keys(root, sweep_index, n_mc)
     if mesh is not None:
@@ -203,6 +234,13 @@ def run_sweep(
     checkpoint_dir = checkpoint_dir or _DEFAULT_CHECKPOINT["dir"]
     backend = checkpoint_backend or _DEFAULT_CHECKPOINT["backend"]
     ckptr = _orbax_checkpointer() if (checkpoint_dir and backend == "orbax") else None
+    # multi-process runs: every process computes the same sweep (SPMD),
+    # but only process 0 journals checkpoints and prints progress.
+    # Checkpoint READS stay on all processes (same filesystem, same files
+    # → every process skips the same completed points, keeping the
+    # collective call pattern aligned).
+    primary = jax.process_index() == 0
+    verbose = verbose and primary
 
     t0 = time.time()
     curves: Dict[str, List[float]] = {}
@@ -229,7 +267,7 @@ def run_sweep(
             point = {m: float(np.mean(errs)) for m, errs in out.items()}
             for m, errs in out.items():
                 raw.setdefault(m, []).append(np.asarray(errs).tolist())
-            if checkpoint_dir:
+            if checkpoint_dir and primary:
                 os.makedirs(checkpoint_dir, exist_ok=True)
                 if ckptr is not None:
                     ckptr.save(

@@ -92,6 +92,88 @@ def omp_gram(AhA: jnp.ndarray, Ahv: jnp.ndarray, m: int) -> OmpResult:
 
 
 @functools.partial(jax.jit, static_argnames=("m",))
+def omp_gram_kron(
+    GA: jnp.ndarray, GB: jnp.ndarray, C0: jnp.ndarray, m: int
+) -> OmpResult:
+    """OMP core on the IMPLICIT Kronecker Gram ``kron(GA, GB)`` — the
+    blocked form of :func:`omp_gram` for separable dictionaries.
+
+    The (na·nb)² kron Gram never exists: residual correlations are the
+    (na, nb) matrix ``C0 − GA[:, r_idx] · (coef ⊙ GB[:, c_idx]ᵀ)`` (one
+    small MXU matmul per step — a kron column is the outer product
+    ``GA[:, r] ⊗ GB[:, c]``), and the active-Gram border row is the
+    elementwise product ``GA[r_idx, r_new] ⊙ GB[c_idx, c_new]``.  At the
+    TD-OMP config (na=32, nb=16, m=100) this removes the 512²-Gram
+    materialization AND the (512, m) per-step gathers that dominated the
+    kron-dense core's runtime on chip (PERF.md round 5).
+
+    ``C0``: initial correlation matrix (na, nb) = AᴴYBᴴ for the TD model.
+    Atom index j = r·nb + c (row-major flatten of the (na, nb) support).
+    Bordered-inverse refit and rank guard identical to :func:`omp_gram`.
+    """
+    na, nb = GA.shape[0], GB.shape[0]
+    n = na * nb
+    rdt = jnp.finfo(GA.dtype).dtype if jnp.iscomplexobj(GA) else GA.dtype
+    Ahv = C0.reshape(-1)
+
+    # TPU note (round 5, results/trace_omp_td_op_stats.json): the first
+    # kron core re-gathered GA[:, r_idx] / GB[:, c_idx] / Ahv[idx] every
+    # step — batched gathers were 86% of device time.  The support grows
+    # by ONE atom per step, so every gathered quantity is carried as a
+    # loop buffer updated by a single dynamic column write instead; the
+    # remaining per-step indexing is scalar dynamic slicing.  Requires
+    # Hermitian GA/GB (always true for Grams): the border row uses
+    # GA[r_t, r_new] = conj(GAr[r_new, t]) from the carried buffer.
+    def body(t, carry):
+        idx, coef, inv, GAr, GBc, rhs, sel = carry
+        # corr[p, q] = C0[p, q] − Σ_s coef_s · GA[p, r_s] · GB[q, c_s]
+        corr = C0 - GAr @ (coef[:, None] * GBc.T)
+        score = jnp.where(sel, -jnp.inf, jnp.abs(corr.reshape(-1)))
+        new = jnp.argmax(score).astype(jnp.int32)
+        r_new, c_new = new // nb, new % nb
+        ga_col = jax.lax.dynamic_slice_in_dim(GA, r_new, 1, 1)[:, 0]
+        gb_col = jax.lax.dynamic_slice_in_dim(GB, c_new, 1, 1)[:, 0]
+        ga_row = jax.lax.dynamic_slice_in_dim(GAr, r_new, 1, 0)[0]
+        gb_row = jax.lax.dynamic_slice_in_dim(GBc, c_new, 1, 0)[0]
+        slot_valid = jnp.arange(m) < t
+        g = jnp.where(slot_valid, jnp.conj(ga_row * gb_row), 0.0)
+        u = inv @ g
+        d = (
+            jax.lax.dynamic_index_in_dim(ga_col, r_new, 0, False)
+            * jax.lax.dynamic_index_in_dim(gb_col, c_new, 0, False)
+        ).real
+        s_raw = d - jnp.real(jnp.vdot(g, u))
+        tiny = s_raw <= 1e-6 * jnp.maximum(d, jnp.asarray(1e-30, rdt))
+        s = jnp.where(tiny, jnp.asarray(1.0, rdt), s_raw).astype(GA.dtype)
+        u = jnp.where(tiny, 0.0, u)
+        inv = inv + jnp.outer(u, u.conj()) / s
+        inv_tt = jnp.where(tiny, 0.0, 1.0 / s)
+        row_t = jnp.where(slot_valid, -u.conj() / s, 0.0).at[t].set(inv_tt)
+        inv = inv.at[t, :].set(row_t)
+        inv = inv.at[:, t].set(row_t.conj()).at[t, t].set(inv_tt)
+        idx = idx.at[t].set(new)
+        GAr = GAr.at[:, t].set(ga_col)
+        GBc = GBc.at[:, t].set(gb_col)
+        rhs = rhs.at[t].set(jax.lax.dynamic_index_in_dim(Ahv, new, 0, False))
+        sel = sel.at[new].set(True)
+        coef = inv @ rhs  # rhs is 0 on idle slots
+        return idx, coef, inv, GAr, GBc, rhs, sel
+
+    carry0 = (
+        jnp.zeros((m,), jnp.int32),
+        jnp.zeros((m,), GA.dtype),
+        jnp.eye(m, dtype=GA.dtype),
+        jnp.zeros((na, m), GA.dtype),
+        jnp.zeros((nb, m), GB.dtype),
+        jnp.zeros((m,), GA.dtype),
+        jnp.zeros((n,), bool),
+    )
+    idx, coef, *_ = jax.lax.fori_loop(0, m, body, carry0)
+    x = jnp.zeros((n,), GA.dtype).at[idx].add(coef)
+    return OmpResult(x=x, support=idx)
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
 def omp(A: jnp.ndarray, v: jnp.ndarray, m: int) -> OmpResult:
     """Single-vector Orthogonal Matching Pursuit with target sparsity m.
 
@@ -119,9 +201,10 @@ def omp_td(A: jnp.ndarray, B: jnp.ndarray, Y: jnp.ndarray, k: int) -> OmpResult:
     """
     Gr = A.shape[1]
     K = B.shape[0]
-    G = jnp.kron(A.conj().T @ A, jnp.conj(B @ B.conj().T))  # (Gr·K, Gr·K)
-    rhs = (A.conj().T @ Y @ B.conj().T).reshape(-1)  # (Gr·K,)
-    res = omp_gram(G, rhs, k)
+    GA = A.conj().T @ A  # (Gr, Gr)
+    GB = jnp.conj(B @ B.conj().T)  # (K, K)
+    C0 = A.conj().T @ Y @ B.conj().T  # (Gr, K)
+    res = omp_gram_kron(GA, GB, C0, k)
     return OmpResult(x=res.x.reshape(Gr, K), support=res.support)
 
 

@@ -126,3 +126,37 @@ def test_omp_gram_degenerate_atoms_guarded():
     # reconstruction must be exact even though the support may land on
     # either duplicate of each atom
     assert float(jnp.linalg.norm(A @ res.x - v) / jnp.linalg.norm(v)) < 1e-4
+
+
+def test_omp_gram_kron_matches_dense_kron():
+    """The blocked kron core (round 5, no 512^2 Gram / per-step gathers)
+    must reproduce the dense-kron omp_gram run exactly: same support
+    sequence, same coefficients (identical g/rhs gathers -> identical
+    bordered-inverse chain)."""
+    from jstsp19_tpu.solvers.omp import omp_gram, omp_gram_kron
+
+    rng = np.random.default_rng(17)
+    na, nb, M, T, k = 16, 8, 12, 20, 25
+    A = jnp.asarray(
+        rng.standard_normal((M, na)) + 1j * rng.standard_normal((M, na)),
+        jnp.complex64,
+    )
+    B = jnp.asarray(
+        rng.standard_normal((nb, T)) + 1j * rng.standard_normal((nb, T)),
+        jnp.complex64,
+    )
+    Y = jnp.asarray(
+        rng.standard_normal((M, T)) + 1j * rng.standard_normal((M, T)),
+        jnp.complex64,
+    )
+    GA = A.conj().T @ A
+    GB = jnp.conj(B @ B.conj().T)
+    C0 = A.conj().T @ Y @ B.conj().T
+    r_dense = omp_gram(jnp.kron(GA, GB), C0.reshape(-1), k)
+    r_kron = omp_gram_kron(GA, GB, C0, k)
+    np.testing.assert_array_equal(
+        np.asarray(r_dense.support), np.asarray(r_kron.support)
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_dense.x), np.asarray(r_kron.x), atol=1e-5
+    )

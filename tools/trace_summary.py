@@ -8,7 +8,9 @@ Input: the trace dir written by ``python bench.py --profile``
 - ``results/trace_roofline.json`` — xprof ``roofline_model`` rows for
   the top programs.
 
-Usage: python tools/trace_summary.py [trace_dir]
+Usage: python tools/trace_summary.py [trace_dir] [out_prefix]
+(out_prefix defaults to results/trace — pass e.g. results/trace_omp_td to
+keep a separate capture from clobbering the committed flagship artifacts)
 """
 import glob
 import json
@@ -17,6 +19,7 @@ import sys
 from xprof.convert import raw_to_tool_data as rtd
 
 trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jstsp19_tpu_trace"
+out_prefix = sys.argv[2] if len(sys.argv) > 2 else "results/trace"
 xs = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.xplane.pb"))
 if not xs:
     sys.exit(f"no xplane.pb under {trace_dir}")
@@ -45,16 +48,16 @@ keep = [
     "Normalized FLOP Rate (FLOPs/s)",
 ]
 op_stats = {
-    "context": "bench.py --profile: one steady-state batch-256 tracked-tr1 "
-               "proposed-ADMM run (Imax=100) on the TPU; xprof "
-               "framework_op_stats, device ops ranked by self-time",
+    "context": f"jax.profiler capture under {trace_dir}: one steady-state "
+               "batch on the TPU; xprof framework_op_stats, device ops "
+               "ranked by self-time",
     "capture_meta": meta,
     "ops": [{k: r.get(k) for k in keep} for r in dev_rows],
 }
-with open("results/trace_op_stats.json", "w") as f:
+with open(out_prefix + "_op_stats.json", "w") as f:
     json.dump(op_stats, f, indent=1)
 tot = sum(float(r.get("Total self-time on Device (%)") or 0) for r in dev_rows)
-print(f"trace_op_stats.json: {len(dev_rows)} device ops, "
+print(f"{out_prefix}_op_stats.json: {len(dev_rows)} device ops, "
       f"{100 * tot:.1f}% of device self-time covered")
 
 # -- roofline rows ---------------------------------------------------------
@@ -65,8 +68,8 @@ try:
         "capture_meta": meta,
         "rows": rows[:30],
     }
-    with open("results/trace_roofline.json", "w") as f:
+    with open(out_prefix + "_roofline.json", "w") as f:
         json.dump(roof, f, indent=1)
-    print(f"trace_roofline.json: {len(rows[:30])} rows")
+    print(f"{out_prefix}_roofline.json: {len(rows[:30])} rows")
 except Exception as e:  # noqa: BLE001
     print("roofline_model unavailable:", repr(e)[:200])
