@@ -73,7 +73,7 @@ from jstsp19_tpu.solvers.vamp import (  # noqa: F401
     vamp_glm_se,
     vamp_mmwave,
 )
-from jstsp19_tpu.solvers.gamp import gamp, fista, amp, sure_amp  # noqa: F401
+from jstsp19_tpu.solvers.gamp import gamp, fista, amp, amp_est, sure_amp  # noqa: F401
 from jstsp19_tpu.solvers.gamp_full import (  # noqa: F401
     GampOptions,
     GampState,

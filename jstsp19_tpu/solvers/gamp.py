@@ -265,3 +265,121 @@ def sure_amp(y, op, nit: int = 50, n_grid: int = 32):
 
     (x, z), _ = jax.lax.scan(body, (x, z), None, length=nit)
     return x
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nit", "rvar_method", "bisect_iters", "damp")
+)
+def amp_est(
+    y,
+    op,
+    prior,
+    nit: int = 50,
+    rvar_method: str = "mean",
+    wvar=None,
+    evals_aah=None,
+    rvar_min: float = 1e-12,
+    bisect_iters: int = 50,
+    damp: float = 1.0,
+):
+    """The full ``ampEst.m`` main loop (``ampEst.m:180-290``), both
+    variance branches:
+
+    * **standard AMP** — Onsager gain ``(n/m)·xvar/rvar``; denoiser-input
+      variance by ``rvar_method``: ``'mean'`` (power of the corrected
+      residual), ``'median'`` (robust MAD estimate,
+      ``ampEst.m:236-241`` — the complex branch uses √(2/log4)·median|v̂|),
+      or ``'wvar'`` (the oracle ``wvar + (n/m)·xvar``, needs ``wvar``);
+    * **S-AMP** (``evals_aah`` given: the spectrum of A·Aᴴ) — for
+      unitarily-invariant NON-i.i.d. ensembles: Onsager gain
+      ``1 − 1/S(−xvar/rvar)`` (``ampEst.m:221-222``) and ``rvar`` from the
+      fixed point ``rvar = wvar·S(−xvar/rvar)`` by bisection
+      (``ampEst.m:250-268``), with ``S`` the :func:`s_transform` of the
+      operator spectrum.  Needs ``wvar``.
+
+    Assumes unit-norm columns (the reference's ``normalizeA`` path —
+    callers normalize; ``checkA`` is a host-side assertion there).
+    Returns the final estimate ``x``.
+
+    ``damp`` (documented deviation; 1.0 = reference-faithful): convex
+    damping of the corrected-residual recursion.  The reference clips the
+    S-transform query at ``m/n − 1e-3`` (``ampEst.m:221``), and near that
+    rank edge S explodes, driving the Onsager gain to 1 (the residual
+    memory stops decaying) — at high spectral condition the undamped
+    recursion then diverges exactly like the reference's would.
+    ``damp≈0.5`` recovers convergence at condition 100+ (tested); same
+    damping role as ``VampGlmOpt.damp``.
+    """
+    from jstsp19_tpu.solvers.gamp_se import s_transform
+
+    M = 1
+    for s in op.out_shape:
+        M *= s
+    N = 1
+    for s in op.in_shape:
+        N *= s
+    delta = M / N
+    xdtype = _state_dtype(prior.init_moments()[0], y)
+    cplx = jnp.iscomplexobj(jnp.zeros((), xdtype))
+    x0, xvar0 = prior.init_moments()
+    x = jnp.zeros(op.in_shape, xdtype)
+
+    def S_of(div):
+        # clip into s_transform's open domain (the reference clips the
+        # gain query at m/n − 1e-3, ampEst.m:221, and warns on the rvar
+        # query; one clamp serves both)
+        return s_transform(
+            jnp.clip(div, -(delta - 1e-3), -1e-9), evals_aah, N
+        )
+
+    def rvar_bisect(xvar):
+        # rvar = wvar·S(−xvar/rvar): monotone in rvar → bisection
+        # (ampEst.m:250-268)
+        lo = jnp.maximum((1.0 / delta) * xvar, rvar_min)
+        hi = lo * 100.0
+
+        def body(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            err = mid - wvar * S_of(-xvar / mid)
+            return jnp.where(err > 0, lo, mid), jnp.where(err > 0, mid, hi)
+
+        lo, hi = jax.lax.fori_loop(0, bisect_iters, body, (lo, hi))
+        return 0.5 * (lo + hi)
+
+    def body(carry, _):
+        x, vhat, rvar_prev, xvar, it = carry
+        div = xvar / rvar_prev
+        if evals_aah is not None:
+            gain = 1.0 - 1.0 / S_of(-div)
+        else:
+            gain = div / delta
+        vhat = damp * ((y - op.mv(x)) + gain * vhat) + (1.0 - damp) * vhat
+        if evals_aah is not None:
+            rvar = rvar_bisect(xvar)
+        elif rvar_method == "median":
+            mag = jnp.abs(vhat)
+            if cplx:
+                rvar = (jnp.sqrt(2.0 / jnp.log(4.0)) * jnp.median(mag)) ** 2
+            else:
+                rvar = (jnp.median(mag) / 0.6745) ** 2
+        elif rvar_method == "wvar":
+            rvar = wvar + xvar / delta
+        else:  # 'mean'
+            rvar = jnp.mean(jnp.abs(vhat) ** 2)
+        # first iteration always uses the residual power (ampEst.m:229-231)
+        rvar = jnp.where(it == 0, jnp.mean(jnp.abs(vhat) ** 2), rvar)
+        rvar = jnp.maximum(rvar, rvar_min)
+        rhat = x + op.rmv(vhat)
+        x_new, Xvar = prior.estim(rhat, rvar)
+        return (x_new, vhat, rvar, jnp.mean(jnp.real(Xvar)), it + 1), None
+
+    carry0 = (
+        x,
+        jnp.zeros(op.out_shape, xdtype),
+        jnp.asarray(1.0, jnp.float32),
+        jnp.asarray(jnp.real(xvar0).mean(), jnp.float32),
+        jnp.zeros((), jnp.int32),
+    )
+    (x, _, _, _, _), _ = jax.lax.scan(body, carry0, None, length=nit)
+    return x

@@ -32,13 +32,13 @@ def test_two_process_sweep_matches_single_process(tmp_path):
             "--noise-vars", "0.1,0.5",
             "--out", str(out),
         ],
-        devices_per_process=1,
+        devices_per_process=2,  # process-spanning mesh with >1 local device
         timeout=280,
         cwd=REPO,
     )
     res = json.loads(out.read_text())
     assert res["num_processes"] == 2
-    assert res["num_devices"] == 2
+    assert res["num_devices"] == 4
 
     # single-process oracle: identical keys -> identical realizations ->
     # the cross-process all-gather must reproduce the same means

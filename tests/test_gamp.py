@@ -193,3 +193,63 @@ def test_gamp_adaptive_step(key):
     res_a2 = gamp(prior2, lik2, MatrixOp(A2), nit=300, step=0.9, adaptive=True)
     assert not bool(jnp.all(jnp.isfinite(jnp.abs(res_f2.x))))  # fixed diverges
     assert bool(jnp.all(jnp.isfinite(jnp.abs(res_a2.x))))  # adaptive does not
+
+
+def _spectrum_problem(cond, n=256, m=128, k=12, wvar=1e-5, seed=0):
+    """Unitarily-invariant ensemble with log-spaced singular values,
+    normalized to ||A||_F^2 = n (unit-norm columns on average)."""
+    rng = np.random.default_rng(seed)
+    U, _ = np.linalg.qr(rng.standard_normal((m, m)))
+    V, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    s = np.logspace(0, -np.log10(cond), m)
+    A = U @ np.diag(s) @ V[:, :m].T
+    A *= np.sqrt(n / np.sum(s**2))
+    evals = (s * np.sqrt(n / np.sum(s**2))) ** 2
+    x = np.zeros(n)
+    idx = rng.choice(n, k, False)
+    x[idx] = rng.standard_normal(k)
+    y = A @ x + np.sqrt(wvar) * rng.standard_normal(m)
+    from jstsp19_tpu.ops import MatrixOp
+    from jstsp19_tpu.solvers.estim import AwgnPrior, SparsePrior
+
+    op = MatrixOp(jnp.asarray(A, jnp.float32))
+    prior = SparsePrior(base=AwgnPrior(mean0=0.0, var0=1.0), p1=k / n)
+    return op, prior, jnp.asarray(y, jnp.float32), x, jnp.asarray(evals, jnp.float32), wvar
+
+
+def _nmse_np(xh, x):
+    return float(np.sum((np.asarray(xh) - x) ** 2) / np.sum(x**2))
+
+
+def test_amp_est_rvar_methods_agree_on_flat_spectrum():
+    """ampEst.m's standard-branch rvar methods ('mean'/'median'/'wvar',
+    ampEst.m:232-246) and the S-AMP branch all recover a well-conditioned
+    unitarily-invariant problem to the same accuracy."""
+    from jstsp19_tpu.solvers import amp_est
+
+    op, prior, y, x, evals, wvar = _spectrum_problem(cond=1.0)
+    for kwargs in (
+        dict(rvar_method="mean"),
+        dict(rvar_method="median"),
+        dict(rvar_method="wvar", wvar=wvar),
+        dict(evals_aah=evals, wvar=wvar),
+    ):
+        xh = amp_est(y, op, prior, nit=60, **kwargs)
+        assert _nmse_np(xh, x) < 1e-3, kwargs
+
+
+def test_s_amp_recovers_where_standard_amp_fails():
+    """The exact-rvar S-AMP branch (ampEst.m:221-268: Onsager gain
+    1-1/S(-xvar/rvar), rvar = wvar*S(-xvar/rvar) bisection fixed point)
+    on a condition-10 log-spectrum ensemble: standard AMP diverges, S-AMP
+    with damp=0.5 recovers to noise level."""
+    from jstsp19_tpu.solvers import amp, amp_est
+
+    op, prior, y, x, evals, wvar = _spectrum_problem(cond=10.0)
+    nmse_amp = _nmse_np(amp(y, op, prior, nit=100), x)
+    nmse_samp = _nmse_np(
+        amp_est(y, op, prior, nit=200, wvar=wvar, evals_aah=evals, damp=0.5),
+        x,
+    )
+    assert nmse_amp > 0.5, nmse_amp  # standard AMP fails here
+    assert nmse_samp < 1e-3, nmse_samp
