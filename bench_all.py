@@ -31,6 +31,9 @@ METHODS = (
     "ls", "vamp", "omp_mmv", "omp_td", "svt", "tssr", "mc_admm",
     "proposed", "proposed_angles",
 )
+# conservative single-workstation MATLAB estimate at the flagship config
+# (bench.py docstring) — the denominator of every vs_matlab ratio
+MATLAB_EST_PER_SEC = 1.0
 
 
 def _mc_admm_errors(key, noise_var):
@@ -108,9 +111,7 @@ def main():
         est_per_sec = ns.batch / best
         rows[method] = dict(
             est_per_sec=round(est_per_sec, 1),
-            # ratio vs the single-workstation MATLAB reference estimate
-            # (1 est/s at the flagship config — bench.py docstring)
-            vs_matlab=round(est_per_sec / 1.0, 1),
+            vs_matlab=round(est_per_sec / MATLAB_EST_PER_SEC, 1),
             best_batch_seconds=round(best, 4),
             first_incl_compile_s=round(t_first, 2),
             mean_nmse_0db=round(nmse0, 5),
@@ -134,7 +135,7 @@ def main():
             config="canonical errorVSsnr (Imax=100, paper-model ensemble, "
                    "0 dB); every SVT-bearing family (proposed*, svt, tssr, "
                    "mc_admm) runs svt_method='tracked' (ops/tracked.py)",
-            matlab_reference_est_per_sec=1.0,
+            matlab_reference_est_per_sec=MATLAB_EST_PER_SEC,
             note="batched throughput: one compiled batch per family "
                  "(channel+frontend+solver+NMSE), best of reps, host "
                  "transfer in the timed section",

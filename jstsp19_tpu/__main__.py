@@ -89,6 +89,14 @@ def main(argv=None):
         default=1,
         help="virtual CPU devices per distributed worker (with --distributed)",
     )
+    runp.add_argument(
+        "--dist-timeout",
+        type=float,
+        default=None,
+        metavar="SECONDS",
+        help="per-worker wall-clock limit for --distributed runs "
+        "(default: no limit — sweeps can run long)",
+    )
     args = parser.parse_args(argv)
 
     if args.cmd == "run":
@@ -113,8 +121,19 @@ def main(argv=None):
             # command (minus the launcher flags) under the env protocol
             from jstsp19_tpu.parallel.launch import launch
 
+            n_dev = args.distributed * args.devices_per_process
+            if args.n_mc % n_dev:
+                print(
+                    f"--n-mc {args.n_mc} must be divisible by the "
+                    f"{n_dev} global devices ({args.distributed} processes "
+                    f"x {args.devices_per_process} devices); try "
+                    f"--n-mc {((args.n_mc + n_dev - 1) // n_dev) * n_dev}",
+                    file=sys.stderr,
+                )
+                return 1
             raw = list(sys.argv[1:] if argv is None else argv)
-            for flag in ("--distributed", "--devices-per-process"):
+            for flag in ("--distributed", "--devices-per-process",
+                         "--dist-timeout"):
                 while flag in raw:
                     i = raw.index(flag)
                     del raw[i : i + 2]
@@ -122,6 +141,7 @@ def main(argv=None):
                 args.distributed,
                 ["-m", "jstsp19_tpu", *raw],
                 devices_per_process=args.devices_per_process,
+                timeout=args.dist_timeout,
             )
             sys.stdout.write(results[0].stdout)
             return 0

@@ -236,7 +236,10 @@ def _worker_main(argv=None) -> None:
             )
             best = min(best, time.time() - t0)
         res["best_seconds"] = best
-        res["throughput_est_per_s"] = args.n_mc * len(nvs) / best
+    else:
+        # single pass: the only timing available includes the compile
+        res["best_seconds"] = res["seconds"]
+    res["throughput_est_per_s"] = args.n_mc * len(nvs) / res["best_seconds"]
     if pid == 0 and args.out:
         with open(args.out, "w") as f:
             json.dump(res, f, indent=2)

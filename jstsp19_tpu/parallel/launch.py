@@ -20,6 +20,7 @@ import os
 import socket
 import subprocess
 import sys
+import tempfile
 from typing import Dict, List, Optional, Sequence
 
 from jstsp19_tpu.parallel.distributed import (
@@ -71,7 +72,7 @@ def launch(
     else:
         env_base.pop("XLA_FLAGS", None)
     env_base.update(env_extra or {})
-    procs = []
+    procs, spools = [], []
     for pid in range(num_processes):
         env = dict(
             env_base,
@@ -84,12 +85,17 @@ def launch(
         )
         if pin_cores:
             env[ENV_PIN] = "1"
+        # spool worker output to a temp FILE, not a pipe: a worker that
+        # fills a 64 KB pipe while the launcher waits on an earlier
+        # worker would block mid-collective and deadlock the SPMD program
+        spool = tempfile.TemporaryFile(mode="w+", encoding="utf-8")
+        spools.append(spool)
         procs.append(
             subprocess.Popen(
                 [sys.executable, *python_args],
                 env=env,
                 cwd=cwd,
-                stdout=subprocess.PIPE,
+                stdout=spool,
                 stderr=subprocess.STDOUT,
                 text=True,
             )
@@ -97,11 +103,15 @@ def launch(
     done, failed = [], []
     for pid, p in enumerate(procs):
         try:
-            out, _ = p.communicate(timeout=timeout)
+            p.wait(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             raise
+    for pid, (p, spool) in enumerate(zip(procs, spools)):
+        spool.seek(0)
+        out = spool.read()
+        spool.close()
         done.append(subprocess.CompletedProcess(p.args, p.returncode, out, None))
         if p.returncode != 0:
             failed.append((pid, p.returncode, out))

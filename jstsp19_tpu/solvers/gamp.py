@@ -319,30 +319,46 @@ def amp_est(
     for s in op.in_shape:
         N *= s
     delta = M / N
-    xdtype = _state_dtype(prior.init_moments()[0], y)
-    cplx = jnp.iscomplexobj(jnp.zeros((), xdtype))
     x0, xvar0 = prior.init_moments()
-    x = jnp.zeros(op.in_shape, xdtype)
+    xdtype = _state_dtype(x0, y)
+    cplx = jnp.iscomplexobj(jnp.zeros((), xdtype))
+    # start from the prior mean, as the reference's EstimIn init does
+    x = jnp.broadcast_to(jnp.asarray(x0, xdtype), op.in_shape)
+
+    if evals_aah is not None:
+        # s_transform's open domain is (−R/N, 0) with R = rank(A·Aᴴ) —
+        # smaller than (−M/N, 0) for rank-deficient ensembles (and for
+        # M > N the zero-padding caps R at N).  The reference clips only
+        # at m/n − 1e-3 (ampEst.m:221) and NaNs outside; clamp to the
+        # actual edge so rank-deficient spectra degrade gracefully.
+        _rn = jnp.count_nonzero(evals_aah > 0) / N
+        _edge = jnp.maximum(jnp.minimum(delta, _rn) - 1e-3, 1e-6)
 
     def S_of(div):
-        # clip into s_transform's open domain (the reference clips the
-        # gain query at m/n − 1e-3, ampEst.m:221, and warns on the rvar
-        # query; one clamp serves both)
-        return s_transform(
-            jnp.clip(div, -(delta - 1e-3), -1e-9), evals_aah, N
-        )
+        return s_transform(jnp.clip(div, -_edge, -1e-9), evals_aah, N)
 
     def rvar_bisect(xvar):
         # rvar = wvar·S(−xvar/rvar): monotone in rvar → bisection
-        # (ampEst.m:250-268)
+        # (ampEst.m:250-268).  The reference fixes hi = 100·lo and warns
+        # when the bracket misses; here hi is expanded (×100 up to 4
+        # times) until the endpoint error is nonnegative, so very sparse
+        # priors (lo ≪ the fixed point) still bracket correctly.
         lo = jnp.maximum((1.0 / delta) * xvar, rvar_min)
-        hi = lo * 100.0
+
+        def err(r):
+            return r - wvar * S_of(-xvar / r)
+
+        def expand(_, hi):
+            return jnp.where(err(hi) < 0, hi * 100.0, hi)
+
+        hi = jax.lax.fori_loop(0, 4, expand, lo * 100.0)
 
         def body(_, carry):
             lo, hi = carry
             mid = 0.5 * (lo + hi)
-            err = mid - wvar * S_of(-xvar / mid)
-            return jnp.where(err > 0, lo, mid), jnp.where(err > 0, mid, hi)
+            return jnp.where(err(mid) > 0, lo, mid), jnp.where(
+                err(mid) > 0, mid, hi
+            )
 
         lo, hi = jax.lax.fori_loop(0, bisect_iters, body, (lo, hi))
         return 0.5 * (lo + hi)
