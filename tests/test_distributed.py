@@ -52,3 +52,29 @@ def test_two_process_sweep_matches_single_process(tmp_path):
             assert np.isclose(
                 res["curves"][m][i], float(np.mean(ref[m])), rtol=1e-4
             ), (m, i)
+
+
+def test_hybrid_mesh_spans_processes(tmp_path):
+    """SURVEY §7.8's 'mesh = (hosts x chips)': the (dp, sp, tp) sharded
+    ADMM step runs over meshes whose axes SPAN process boundaries — both
+    the production layout (dp across processes; solver collectives stay
+    intra-process) and the stress layout (sp across processes; every
+    ADMM iteration's Gram psum crosses Gloo) must match the unsharded
+    single-device reference (asserted inside the workers, rc != 0 on
+    failure)."""
+    import json
+
+    from jstsp19_tpu.parallel.launch import launch
+
+    out = tmp_path / "hybrid.json"
+    launch(
+        2,
+        ["-m", "jstsp19_tpu.parallel.dist_hybrid", "--out", str(out)],
+        devices_per_process=2,
+        timeout=280,
+        cwd=REPO,
+    )
+    res = json.loads(out.read_text())
+    assert res["ok"]
+    assert res["dp_across_processes"]["max_abs_dS"] < 2e-4
+    assert res["sp_across_processes"]["max_abs_dS"] < 2e-4
