@@ -12,6 +12,16 @@ from typing import Tuple
 import jax.numpy as jnp
 
 
+def matlab_round(x: float) -> int:
+    """MATLAB ``round``: nearest integer, ties AWAY from zero — unlike
+    Python's banker's rounding (``round(2.5) == 2`` vs MATLAB 3).  The
+    difference is load-bearing at shipped sweep points (e.g. errorVSnrf's
+    Mr=16/T=5: T/(Nr/Mr)=2.5 -> T_hbf 12 vs 8)."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
 @dataclasses.dataclass(frozen=True)
 class SystemConfig:
     """Static description of the wideband hybrid-beamforming sounding system.
@@ -59,7 +69,7 @@ class SystemConfig:
     @property
     def T_hbf(self) -> int:
         """Fair-budget training frames for the conventional HBF receiver."""
-        return round(self.T / (self.Nr / self.Mr)) * self.Nt
+        return matlab_round(self.T / (self.Nr / self.Mr)) * self.Nt
 
     @property
     def beamspace_shape(self) -> Tuple[int, int]:

@@ -12,6 +12,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from jstsp19_tpu.core.config import matlab_round
 from jstsp19_tpu.core.config import REAL_DTYPE
 from jstsp19_tpu.frontend.beamformers import create_beamformer
 from jstsp19_tpu.frontend.training import gaussian_training_frames, awgn
@@ -95,7 +96,7 @@ def comm_system_training(
     ``wideband_hybBF_comm_system_training.m:1,28-30``).
     """
     L, Nr, Nt = H.shape
-    Lr = round(sub_sampling_ratio * Nr)
+    Lr = matlab_round(sub_sampling_ratio * Nr)
     k_train, k_noise, k_mask = jax.random.split(key, 3)
     Psi = gaussian_training_frames(k_train, Nt, T, L)
     # NOTE: the reference draws noise with std sqrt(noise_var/2) per

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from jstsp19_tpu.channel import channel_from_taps, wideband_mmwave_channel
 from jstsp19_tpu.core import prng
+from jstsp19_tpu.core.config import matlab_round
 from jstsp19_tpu.core.metrics import clamped_nmse, nmse
 from jstsp19_tpu.frontend import (
     awgn,
@@ -94,7 +95,7 @@ class PointConfig:
 
     @property
     def T_hbf(self) -> int:
-        return round(self.T / (self.Nr / self.Mr)) * self.Nt
+        return matlab_round(self.T / (self.Nr / self.Mr)) * self.Nt
 
 
 def fastest_point_config(method: str) -> PointConfig:
@@ -242,7 +243,11 @@ def realization_errors(
             # observation is completed, which is what SVT-MC is defined on).
             Y_svt = mc_svt(
                 obs.Y, obs.Omega, pc.Imax, tau_Y, 0.1,
-                svt_method="tracked" if pc.svt_method == "tracked" else "eigh",
+                # thread the configured inner SVT through (jacobi included,
+                # round 5) so A/B runs compare like with like; 'pallas'
+                # means the PROPOSED solve is fused — the completion
+                # baseline runs its numerically identical 'tracked' chain
+                svt_method="tracked" if pc.svt_method == "pallas" else pc.svt_method,
                 track_rounds=pc.track_rounds,
                 track_precision=pc.track_precision,
             )
@@ -278,15 +283,13 @@ def proposed_problem(key, pc: PointConfig, noise_var, H_ext=None):
         key, pc, noise_var, H_ext
     )
     # Algorithm-3 oracle support order (rank of each |Zbar| entry,
-    # descending — plot_errorVSsnr.m:143)
+    # descending — plot_errorVSsnr.m:143); shared helper so the fused
+    # kernel and the XLA angles path can't desynchronize
+    from jstsp19_tpu.solvers.admm import support_rank_from_order
+
     total = pc.Gr * pc.L * pc.Gt
     indx = jnp.argsort(-jnp.abs(ch.Zbar).reshape(-1))
-    rank = (
-        jnp.zeros((total,), jnp.int32)
-        .at[indx]
-        .set(jnp.arange(total, dtype=jnp.int32))
-        .reshape(ch.Zbar.shape)
-    )
+    rank = support_rank_from_order(indx, total).reshape(ch.Zbar.shape)
     return dict(
         subY=obs.Y, Omega=obs.Omega, A=A_p, B=B_p,
         tau_Y=tau_Y, tau_S=tau_S, rho=rho, Zbar=ch.Zbar, rank=rank,
@@ -303,6 +306,11 @@ def fused_point_errors(keys, pc: PointConfig, noise_var, interpret=False):
     applies to the XLA 'tracked' route only."""
     from jstsp19_tpu.kernels.admm_fused import fused_tracked_admm
 
+    if pc.admm_mode != "approximate":
+        raise ValueError(
+            "svt_method='pallas' implements only admm_mode='approximate' "
+            f"(the fused kernel's sparse-code update); got {pc.admm_mode!r}"
+        )
     prob = jax.vmap(lambda k: proposed_problem(k, pc, noise_var))(keys)
     out = {}
     if "proposed" in pc.methods:

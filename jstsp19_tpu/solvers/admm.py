@@ -38,6 +38,14 @@ class AdmmState(NamedTuple):
     Y: jnp.ndarray
     S: jnp.ndarray  # thresholded sparse code (used in the X-update)
     v: jnp.ndarray  # pre-threshold code (steepest-descent iterate)
+    # A·S·B of the stored S — carried so the X-update reuses the previous
+    # iteration's product instead of recomputing two matmuls (round 5)
+    Xs: Optional[jnp.ndarray] = None
+    # tracked-SVT carry (svt_method='tracked' only): the warm eigenbasis
+    # and the global iteration count (rotation-schedule phase), so a
+    # chunked resume is BIT-exact instead of restarting the basis at eye
+    U: Optional[jnp.ndarray] = None
+    it: Optional[jnp.ndarray] = None
 
 
 class AdmmResult(NamedTuple):
@@ -63,6 +71,10 @@ def admm_hyperparams(Y_obs: jnp.ndarray, Zbar_ref: jnp.ndarray, top_k: int = 6):
     """
     tau_Y = 1.0 / jnp.sum(jnp.abs(Y_obs) ** 2)
     tau_S = 1.0 / (2.0 * jnp.sum(jnp.abs(Zbar_ref) ** 2))
+    # a thin Gram has only min(N, M) eigenvalues; MATLAB eigs would reduce
+    # k itself, while jit indexing would silently clamp ev[-top_k] to
+    # ev[0] (the SMALLEST) — clamp explicitly instead
+    top_k = min(top_k, min(Y_obs.shape))
     # Thin-side Gram: nonzero eigenvalues of YᴴY and YYᴴ coincide, and the
     # top-6 live in the rank ≤ min(N,M) part — an N×N eigh instead of M×M
     # (N=32 vs M=140 at the canonical config; also a far smaller XLA program).
@@ -176,14 +188,25 @@ def proposed_admm(
     zeros_nm = jnp.zeros((N, M), cdt)
 
     State = AdmmState
-    init = init_state if init_state is not None else State(
-        X=zeros_nm,
-        V1=zeros_nm,
-        V2=zeros_nm,
-        C=zeros_nm,
-        Y=zeros_nm,
-        S=jnp.zeros((Gr, K), cdt),
-        v=jnp.zeros((Gr, K), cdt),
+    if init_state is not None:
+        init = init_state
+        if init.Xs is None:
+            init = init._replace(Xs=A @ init.S @ B)
+    else:
+        init = State(
+            X=zeros_nm,
+            V1=zeros_nm,
+            V2=zeros_nm,
+            C=zeros_nm,
+            Y=zeros_nm,
+            S=jnp.zeros((Gr, K), cdt),
+            v=jnp.zeros((Gr, K), cdt),
+            Xs=zeros_nm,
+        )
+    # global iteration offset: keeps the tracked rotation-schedule phase
+    # (and the angles support schedule) continuous across chunked resumes
+    it0 = jnp.asarray(
+        init.it if init.it is not None else 0, jnp.int32
     )
 
     tracked = svt_method == "tracked"
@@ -196,8 +219,11 @@ def proposed_admm(
         U0, _tracked_step = make_tracked_svt(
             N, M, cdt, track_rounds, track_precision
         )
+        if init.U is not None:
+            U0 = init.U  # resume the warm basis, not identity
     else:
         U0 = jnp.eye(N, dtype=cdt)  # unused carry placeholder
+    init = init._replace(U=None, it=None)  # scan carries U separately
     if svt_method == "jacobi":
         from jstsp19_tpu.ops.jacobi import svt_jacobi
 
@@ -209,6 +235,7 @@ def proposed_admm(
 
     def body(carry, i):
         st, U = carry
+        i = it0 + i  # global iteration (chunk-resume continuity)
         # -- sub 1: nuclear-norm prox ------------------------------------
         if tracked:
             Y, U = _tracked_step(st.X - st.V1 / rho, tau_Y / rho, U, i)
@@ -216,7 +243,8 @@ def proposed_admm(
             Y = svt_fn(st.X - st.V1 / rho, tau_Y / rho)
 
         # -- sub 2: masked LS (diagonal solve) ---------------------------
-        b = st.V1 + rho * Y + subY + st.V2 + rho * st.C + rho * (A @ st.S @ B)
+        # st.Xs carries the previous iteration's A·S·B (two matmuls saved)
+        b = st.V1 + rho * Y + subY + st.V2 + rho * st.C + rho * st.Xs
         X = b / denom
 
         # -- sub 3: sparse code ------------------------------------------
@@ -253,14 +281,26 @@ def proposed_admm(
             conv = jnp.stack([sqn(V1) / nx, sqn(V2) / nx, conv3])
         else:
             conv = jnp.zeros((0,), subY.real.dtype)
-        return (State(X, V1, V2, C, Y, S, v), U), conv
+        return (State(X, V1, V2, C, Y, S, v, Xs), U), conv
 
-    (final, _), conv = jax.lax.scan(body, (init, U0), jnp.arange(Imax))
+    (final, Ufin), conv = jax.lax.scan(body, (init, U0), jnp.arange(Imax))
+    final = final._replace(U=Ufin if tracked else None, it=it0 + Imax)
     return AdmmResult(
         S=final.S,
         Y=final.Y,
         convergence=conv if track_convergence else None,
         state=final,
+    )
+
+
+def support_rank_from_order(indx_S: jnp.ndarray, total: int) -> jnp.ndarray:
+    """Rank (0 = strongest) of each flat S entry given the descending
+    oracle order ``indx_S`` (``sort(abs(vec(Zbar)),'descend')``,
+    ``plot_errorVSsnr.m:143``) — the single source of the Algorithm-3
+    support schedule for BOTH the XLA path (:func:`proposed_admm_angles`)
+    and the fused Pallas path (``harness/pipeline.py::proposed_problem``)."""
+    return jnp.zeros((total,), jnp.int32).at[indx_S].set(
+        jnp.arange(total, dtype=jnp.int32)
     )
 
 
@@ -275,7 +315,7 @@ def proposed_admm_angles(
     ``min(10+5·i, Gr·K)`` (``proposed_algorithm_angles.m:36``).
     """
     total = A.shape[1] * B.shape[0]
-    rank = jnp.zeros((total,), jnp.int32).at[indx_S].set(jnp.arange(total, dtype=jnp.int32))
+    rank = support_rank_from_order(indx_S, total)
     return proposed_admm(
         subY, Omega, A, B, Imax, tau_Y, tau_S, rho, mode=mode,
         support_rank=rank, **kw,

@@ -77,12 +77,24 @@ def mc_svt(OH: jnp.ndarray, Omega: jnp.ndarray, Imax: int, tau, rho,
         )
         return step(Y, tau / rho, U, Imax - 1)[0]
 
+    if svt_method == "jacobi":
+        # eigh-free batched Jacobi prox (ops/jacobi.py) — threaded through
+        # so PointConfig(svt_method='jacobi') runs the same inner loop in
+        # the completion baselines as in the proposed solver (round 5)
+        from jstsp19_tpu.ops.jacobi import svt_jacobi
+
+        svt_fn = lambda Yv, t: svt_jacobi(Yv, t, sweeps=8)  # noqa: E731
+    elif svt_method == "eigh":
+        svt_fn = svt
+    else:
+        raise ValueError(f"unknown svt_method {svt_method!r}")
+
     def body(_, Y):
-        X = svt(Y, tau / rho)
+        X = svt_fn(Y, tau / rho)
         return Y + rho * (OH - Omega * X)
 
     Y = jax.lax.fori_loop(0, Imax - 1, body, jnp.zeros_like(OH))
-    return svt(Y, tau / rho)
+    return svt_fn(Y, tau / rho)
 
 
 def mc_admm(

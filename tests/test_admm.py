@@ -211,3 +211,24 @@ def test_tracked_svt_thin_side_flip_matches_eigh():
             ]
         )
     np.testing.assert_allclose(outs["tracked"], outs["eigh"], atol=5e-4)
+
+
+def test_admm_tracked_warm_restart_exact(key):
+    """Chunked resume with svt_method='tracked' must be BIT-exact vs one
+    run: the AdmmState now carries the warm eigenbasis U and the global
+    iteration count (rotation-schedule phase) — round 5; previously the
+    basis silently restarted at identity against a settled iterate."""
+    ch, obs, A, B = _setup(key, snr_db=10.0)
+    tau_Y, tau_S, rho = admm_hyperparams(obs.Y, ch.Zbar)
+    kw = dict(svt_method="tracked", track_precision="highest")
+    full = proposed_admm(obs.Y, obs.Omega, A, B, 60, tau_Y, tau_S, rho, **kw)
+    half = proposed_admm(obs.Y, obs.Omega, A, B, 30, tau_Y, tau_S, rho, **kw)
+    assert half.state.U is not None
+    assert int(half.state.it) == 30
+    resumed = proposed_admm(
+        obs.Y, obs.Omega, A, B, 30, tau_Y, tau_S, rho,
+        init_state=half.state, **kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.S), np.asarray(full.S), atol=1e-6
+    )

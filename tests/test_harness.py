@@ -172,3 +172,19 @@ def test_fastest_point_config_kernel_choices():
     for m in ("ls", "vamp", "omp_mmv", "omp_td"):
         assert fastest_point_config(m).svt_method == "eigh", m
         assert fastest_point_config(m).methods == (m,)
+
+
+def test_t_hbf_matlab_rounding():
+    """MATLAB ``round`` ties go AWAY from zero; Python's banker's rounding
+    broke the fair-training budget at shipped sweep points (round 5):
+    errorVSnrf's Mr=16/T=5 has T/(Nr/Mr)=2.5 -> T_hbf must be 3*Nt=12
+    (MATLAB round(2.5)=3), not 8; errorVSdelays' T=20 point likewise."""
+    from jstsp19_tpu.core.config import matlab_round
+    from jstsp19_tpu.harness.pipeline import PointConfig
+
+    assert matlab_round(2.5) == 3
+    assert matlab_round(-2.5) == -3
+    assert matlab_round(0.625) == 1
+    assert PointConfig(Mr=16, T=5).T_hbf == 12
+    assert PointConfig(T=20).T_hbf == 12  # 20/8 = 2.5 -> 3 taps * Nt=4
+    assert PointConfig().T_hbf == 16  # canonical 35/8 = 4.375 -> 4 * 4
