@@ -29,10 +29,18 @@ def _phase_matrix(omega_cols: jnp.ndarray, N: int) -> jnp.ndarray:
 
 
 def _quantized(N: int, bits: int) -> jnp.ndarray:
-    """Phase-quantized combiner: per-column phase step from a 2^bits grid,
-    tiled to cover N columns (``createBeamformer.m:18-30``)."""
+    """Phase-quantized combiner: per-column phase step from a 2^bits grid
+    covering N columns (``createBeamformer.m:18-30``).
+
+    The reference's ``vec(kron(ones(K,1), A))`` (A a row vector, K =
+    ceil(N/2^bits), column-major vec) repeats each level K times
+    CONSECUTIVELY — [0,0,…,1,1,…] — not cyclically; with K > 1 the first
+    N entries then span only ~N/K distinct phases (round-5 parity fix:
+    the cyclic ``arange(N) % levels`` form gave a different combiner for
+    every N ≠ 2^bits, e.g. the capacity driver's Nr=128 block)."""
     levels = 2**bits
-    a = jnp.arange(N, dtype=REAL_DTYPE) % levels
+    K = -(-N // levels)  # ceil
+    a = jnp.repeat(jnp.arange(levels, dtype=REAL_DTYPE), K)[:N]
     omega = 2.0 * jnp.pi / levels * a
     return _phase_matrix(omega, N)
 

@@ -12,8 +12,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from jstsp19_tpu.core.config import matlab_round
-from jstsp19_tpu.core.config import REAL_DTYPE
+from jstsp19_tpu.core.config import REAL_DTYPE, matlab_round
 from jstsp19_tpu.frontend.beamformers import create_beamformer
 from jstsp19_tpu.frontend.training import gaussian_training_frames, awgn
 

@@ -446,6 +446,15 @@ class QuantizedLikelihood:
     hi: jnp.ndarray
 
     def estim(self, phat, pvar):
+        # f32 guard: once pvar ≫ (hi−lo)², the prior is flat across the
+        # cell and the posterior is (numerically) uniform on [lo, hi] —
+        # but the raw moment formulas cancel catastrophically (both
+        # normalized edges collapse to the same f32 value, e.g. at
+        # VAMP-GLM's GAM_MIN=1e-11 precision init, returning zhat=0).
+        # Capping pvar at 1e4·width² is exact to ~1e-4 relative and keeps
+        # the moments finite at any message precision.
+        width2 = jnp.maximum((self.hi - self.lo) ** 2, 1e-30)
+        pvar = jnp.minimum(pvar, 1e4 * width2)
         zhat, zvar, _ = _tn_moments(phat, pvar, self.lo, self.hi)
         return zhat, jnp.maximum(zvar, 1e-12)
 

@@ -94,7 +94,18 @@ def vamp_glm(
     def Uh(Z):
         return op.to_eigbasis(Ua, Ub, Z)
 
-    x_dtype = jnp.result_type(likelihood.y.dtype, jnp.complex64)
+    # not every likelihood carries observations (e.g. QuantizedLikelihood
+    # holds interval edges lo/hi) — fall back to r1_init, then to the
+    # likelihood's own array leaves (which also carry real-vs-complex:
+    # the quantized few-bit-ADC channel is a REAL scalar model)
+    _y = getattr(likelihood, "y", None)
+    if _y is not None:
+        x_dtype = jnp.result_type(_y.dtype, jnp.complex64)
+    elif r1_init is not None:
+        x_dtype = jnp.result_type(jnp.asarray(r1_init).dtype, jnp.complex64)
+    else:
+        leaves = jax.tree_util.tree_leaves(likelihood)
+        x_dtype = jnp.result_type(*leaves) if leaves else jnp.complex64
     rdt = jnp.finfo(x_dtype).dtype
     r1 = (
         r1_init
@@ -323,7 +334,10 @@ def mc_likelihood_mse(likelihood_from_y, channel_sampler, phat, seed: int = 0):
     ``stateEvo/EstimOutAvg.m`` analog): internally draws
     z = phat + CN(0, pvar), y ~ p(y|z), and reports
     (E|ẑ−z|², E[zvar]) of ``likelihood_from_y(y).estim(phat, pvar)``."""
-    key = prng.experiment_key(seed)
+    # distinct role fold: at equal seeds this helper is composed INTO
+    # vamp_glm_se, whose own noise stream is fold_in(experiment_key, 1) —
+    # without the role tag the two "independent" draws were identical
+    key = jax.random.fold_in(prng.experiment_key(seed), 7919)
     e = prng.complex_normal(key, phat.shape, var=1.0)
 
     def mse(pvar):

@@ -167,3 +167,21 @@ def test_channel_quirks_jits_and_vmaps(key):
     out = f(jax.random.split(key, 5))
     assert out.shape == (5, 8, 8)
     assert jnp.all(jnp.isfinite(out.real))
+
+
+def test_taps_to_subcarriers_aliases_instead_of_truncating(key):
+    """H_k = sum over ALL L taps of H_l e^{-j2pi k l/K}: for K < L the
+    taps alias onto the K-point grid (l mod K); they are not dropped."""
+    from jstsp19_tpu.channel import taps_to_subcarriers
+
+    H = jax.random.normal(key, (4, 3, 2)) + 1j * jax.random.normal(
+        jax.random.fold_in(key, 1), (4, 3, 2)
+    )
+    K = 2
+    out = np.asarray(taps_to_subcarriers(H, K))
+    l = np.arange(4)
+    for k in range(K):
+        ref = np.tensordot(
+            np.exp(-2j * np.pi * k * l / K), np.asarray(H), axes=(0, 0)
+        )
+        np.testing.assert_allclose(out[k], ref, rtol=1e-5, atol=1e-6)

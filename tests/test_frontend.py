@@ -124,3 +124,19 @@ def test_comm_system_training(key):
     # the returned training frames are the ones actually transmitted:
     # rebuilding the noiseless frame from Psi must match Yc up to the noise
     assert Psi.shape == (2, 4, 24)
+
+
+def test_quantized_beamformer_repeats_levels_consecutively():
+    """createBeamformer.m:18-30: A = vec(kron(ones(K,1), [0:2^Nq-1])) with
+    column-major vec repeats each phase level K times CONSECUTIVELY.  At
+    N=32 with 4 bits (levels=16, K=2) the first columns must pair up —
+    [0,0,1,1,...] — not cycle [0,1,...,15,0,...] (round-5 parity fix)."""
+    W = create_beamformer(32, "quantized_4")
+    ph = np.angle(np.asarray(W)[1, :])  # row 1 phase = -omega_c
+    np.testing.assert_allclose(ph[0], ph[1], atol=1e-6)   # level 0 twice
+    np.testing.assert_allclose(ph[2], ph[3], atol=1e-6)   # level 1 twice
+    assert abs(ph[1] - ph[2]) > 1e-3                       # then it advances
+    # 6-bit at N=128: K=2 — 64 distinct phases, each twice
+    W6 = create_beamformer(128, "quantized")
+    ph6 = np.asarray(jnp.angle(W6[1, :]))
+    assert len(np.unique(np.round(ph6, 5))) == 64

@@ -136,3 +136,33 @@ def test_vamp_mmwave_pipeline_runs(key):
     )
     assert np.isfinite(nmse)
     assert nmse < 1.0  # meaningfully better than the zero estimate
+
+
+def test_vamp_glm_quantized_channel():
+    """VAMP-GLM with the y-less interval likelihood (few-bit ADC): dtype
+    inference must fall back to the likelihood's leaves (real scalar
+    model), and the truncated-moment pvar guard must keep the GAM_MIN
+    precision init finite — round 5; previously this path crashed on
+    likelihood.y and, once unblocked, returned zeros (f32 cancellation
+    at pvar=1e11).  Recovery must track the quantization-noise floor."""
+    from jstsp19_tpu.ops import KronDictOp
+    from jstsp19_tpu.solvers import vamp_glm
+    from jstsp19_tpu.solvers.estim import AwgnPrior, QuantizedLikelihood
+
+    rng = np.random.default_rng(0)
+    n, m, step = 32, 64, 0.25
+    A = jnp.asarray(rng.standard_normal((m, n)) / np.sqrt(m), jnp.float32)
+    x = rng.standard_normal(n).astype(np.float32)
+    z = np.asarray(A) @ x
+    lo = np.floor(z / step) * step
+    op = KronDictOp(A, jnp.eye(1, dtype=jnp.float32))
+    res = vamp_glm(
+        AwgnPrior(mean0=0.0, var0=1.0),
+        QuantizedLikelihood(
+            lo=jnp.asarray(lo[:, None]), hi=jnp.asarray(lo[:, None] + step)
+        ),
+        op,
+        nit=50,
+    )
+    nmse = float(np.sum((np.asarray(res.x)[:, 0] - x) ** 2) / np.sum(x**2))
+    assert nmse < 3e-2, nmse  # ~1.1e-2; cell floor ~7e-3
