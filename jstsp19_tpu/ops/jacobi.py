@@ -113,9 +113,14 @@ def jacobi_eigh(A: jnp.ndarray, sweeps: int = 10):
 def svt_jacobi(Y: jnp.ndarray, tau, sweeps: int = 10) -> jnp.ndarray:
     """Singular-value soft-thresholding via the Jacobi eigensolver — an
     eigh-free drop-in for :func:`jstsp19_tpu.solvers.lowrank.svt` when the
-    thin side is even-sized."""
+    thin side is even-sized (same matrix-level NaN reset as svt.m's
+    ``if(~isnan(...))``: any non-finite entry zeroes the whole matrix)."""
     n, m = Y.shape[-2], Y.shape[-1]
-    Yc = jnp.where(jnp.isfinite(Y.real) & jnp.isfinite(Y.imag), Y, 0.0)
+    ok = jnp.all(
+        jnp.isfinite(Y.real) & jnp.isfinite(Y.imag), axis=(-2, -1),
+        keepdims=True,
+    )
+    Yc = jnp.where(ok, Y, 0.0)
     tau = jnp.asarray(tau)[..., None]
     if n <= m:
         G = Yc @ jnp.swapaxes(Yc.conj(), -2, -1)
@@ -128,3 +133,15 @@ def svt_jacobi(Y: jnp.ndarray, tau, sweeps: int = 10) -> jnp.ndarray:
     sig = jnp.sqrt(jnp.maximum(sig2, 0.0))
     f = jnp.where(sig > 0, jnp.maximum(sig - tau, 0.0) / jnp.where(sig > 0, sig, 1.0), 0.0)
     return (Yc @ V) * f[..., None, :] @ jnp.swapaxes(V.conj(), -2, -1)
+
+
+# Shared dispatch settings for svt_jacobi when it stands in for the eigh
+# prox inside iterative solvers (proposed ADMM, mc_svt, mc_admm): ONE
+# sweep count so jacobi-vs-eigh A/B comparisons across solvers compare
+# like with like.
+JACOBI_SVT_SWEEPS = 8
+
+
+def jacobi_svt_fn(Y, tau):
+    """``svt_jacobi`` at the solver-shared sweep count."""
+    return svt_jacobi(Y, tau, sweeps=JACOBI_SVT_SWEEPS)

@@ -225,9 +225,9 @@ def proposed_admm(
         U0 = jnp.eye(N, dtype=cdt)  # unused carry placeholder
     init = init._replace(U=None, it=None)  # scan carries U separately
     if svt_method == "jacobi":
-        from jstsp19_tpu.ops.jacobi import svt_jacobi
-
-        svt_fn = lambda X, t: svt_jacobi(X, t, sweeps=8)
+        # solver-shared sweep count (ops/jacobi.py) — same settings as the
+        # mc_svt/mc_admm completion baselines
+        from jstsp19_tpu.ops.jacobi import jacobi_svt_fn as svt_fn
     elif svt_method in ("eigh", "tracked"):
         svt_fn = svt
     else:

@@ -60,18 +60,31 @@ def _register(cls, data_fields, meta_fields=()):
     return cls
 
 
+def _log1mexp(d):
+    """log(1 − e^d) for d ≤ 0, accurate for tiny |d| (Mächler's log1mexp:
+    the log(−expm1) branch keeps precision where log1p(−exp) cancels —
+    exp(d) rounds to exactly 1.0 for |d| below the float eps, so a naive
+    clamp like min(d, −1e-20) is dead code and yields −inf)."""
+    d = jnp.minimum(d, -1e-30)
+    return jnp.where(
+        d > -0.6931472,  # -log 2
+        jnp.log(-jnp.expm1(d)),
+        jnp.log1p(-jnp.exp(d)),
+    )
+
+
 def _log_ndiff(a, b):
     """log(Phi(b) − Phi(a)) for a ≤ b, stable in both tails.
 
-    Uses the lower-tail form log Phi(b) + log1p(−exp(log Phi(a) − log Phi(b)))
+    Uses the lower-tail form log Phi(b) + log1mexp(log Phi(a) − log Phi(b))
     when the interval sits in the left half, and the mirrored upper-tail form
     (Phi(b)−Phi(a) = Phi(−a)−Phi(−b)) when it sits in the right half.
     """
     logcdf = jax.scipy.stats.norm.logcdf
     lo_b, lo_a = logcdf(b), logcdf(a)
-    lower = lo_b + jnp.log1p(-jnp.exp(jnp.minimum(lo_a - lo_b, -1e-20)))
+    lower = lo_b + _log1mexp(lo_a - lo_b)
     up_a, up_b = logcdf(-a), logcdf(-b)
-    upper = up_a + jnp.log1p(-jnp.exp(jnp.minimum(up_b - up_a, -1e-20)))
+    upper = up_a + _log1mexp(up_b - up_a)
     return jnp.where(a + b > 0, upper, lower)
 
 
@@ -83,7 +96,19 @@ def _tn_moments(phat, pvar, lo, hi):
     finite.  This is the single primitive behind the Unif prior, the
     quantized-output channel, the non-negative GM prior, and the Laplacian
     prior/likelihood half-line branches.
+
+    f32 guard (round 5): for a FINITE interval, once pvar ≫ (hi−lo)² the
+    posterior is numerically indistinguishable from the flat-prior one,
+    but the raw formulas cancel catastrophically (both normalized edges
+    collapse to the same f32 value — e.g. VAMP-GLM's GAM_MIN=1e-11
+    precision init, pvar=1e11).  Capping pvar at 1e2·width² keeps both
+    moments exact to f32 resolution (verified: the in-cell variance comes
+    out at the uniform value width²/12); half-line intervals (±inf
+    endpoints) are left uncapped.
     """
+    width2 = (hi - lo) ** 2
+    cap = 1e2 * jnp.maximum(width2, 1e-30)
+    pvar = jnp.where(jnp.isfinite(width2), jnp.minimum(pvar, cap), pvar)
     sig = jnp.sqrt(pvar)
     a = (lo - phat) / sig
     b = (hi - phat) / sig
@@ -446,15 +471,8 @@ class QuantizedLikelihood:
     hi: jnp.ndarray
 
     def estim(self, phat, pvar):
-        # f32 guard: once pvar ≫ (hi−lo)², the prior is flat across the
-        # cell and the posterior is (numerically) uniform on [lo, hi] —
-        # but the raw moment formulas cancel catastrophically (both
-        # normalized edges collapse to the same f32 value, e.g. at
-        # VAMP-GLM's GAM_MIN=1e-11 precision init, returning zhat=0).
-        # Capping pvar at 1e4·width² is exact to ~1e-4 relative and keeps
-        # the moments finite at any message precision.
-        width2 = jnp.maximum((self.hi - self.lo) ** 2, 1e-30)
-        pvar = jnp.minimum(pvar, 1e4 * width2)
+        # large-pvar stability lives in the shared _tn_moments primitive
+        # (finite-interval pvar cap + log1mexp — round 5)
         zhat, zvar, _ = _tn_moments(phat, pvar, self.lo, self.hi)
         return zhat, jnp.maximum(zvar, 1e-12)
 
@@ -558,7 +576,10 @@ class AwbgnLikelihood:
         scaled 1/wvar; this form keeps the documented lower-bound
         semantics exact."""
         wv = jnp.maximum(self.wvar, 1e-20)
-        return jnp.sum(
+        # per-element costs, like every other likelihood: consumers
+        # (gamp_full's acceptance sum, ConcatLikelihood's block concat)
+        # reduce them; an internal jnp.sum here broke that contract (r5)
+        return (
             -0.5 * (jnp.log(2 * jnp.pi) + jnp.log(wv)
                     + ((self.y - zhat) ** 2 + zvar) / wv)
             + jnp.log(self.lam)
@@ -1613,9 +1634,17 @@ class EllpDMMPrior:
         xhat = jnp.where(
             jnp.abs(rhat) > 0, rhat / mag * shrunk, jnp.zeros_like(rhat)
         )
-        active = (shrunk > 0).astype(jnp.float32)
-        xvar = rvar * (1.0 - thresh * (self.p - 1.0) * mag ** (self.p - 2.0))
-        return xhat, jnp.maximum(jnp.real(xvar) * active, 1e-30)
+        active = shrunk > 0
+        # p < 2 makes mag**(p-2) explode at the 1e-30 clamp (inf in f32),
+        # and inf·0 from the inactive mask is NaN — evaluate the power on
+        # active entries only (inactive slots get a harmless 1.0)
+        mag_safe = jnp.where(active, mag, 1.0)
+        xvar = rvar * (
+            1.0 - thresh * (self.p - 1.0) * mag_safe ** (self.p - 2.0)
+        )
+        return xhat, jnp.maximum(
+            jnp.real(xvar) * active.astype(jnp.float32), 1e-30
+        )
 
     def estim_map(self, rhat, rvar):
         return self.estim(rhat, rvar)

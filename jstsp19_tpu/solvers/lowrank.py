@@ -25,12 +25,18 @@ def svt(Y: jnp.ndarray, tau) -> jnp.ndarray:
     """Singular-value soft-thresholding prox of the nuclear norm.
 
     Matches ``benchmark_algorithms/svt.m:5-13`` (including its NaN guard:
-    a non-finite input maps to the zero matrix) but computes
-    ``U·max(Σ−τ,0)·Vᴴ`` via the thin-side Hermitian eigendecomposition.
-    Batched over leading dims; ``tau`` may broadcast over the batch.
+    ``if(~isnan(softThres))`` on a MATRIX is true only when every entry
+    is non-NaN, so ANY non-finite input maps the WHOLE matrix to zeros —
+    per batch element here) but computes ``U·max(Σ−τ,0)·Vᴴ`` via the
+    thin-side Hermitian eigendecomposition.  Batched over leading dims;
+    ``tau`` may broadcast over the batch.
     """
     n, m = Y.shape[-2], Y.shape[-1]
-    Yc = jnp.where(jnp.isfinite(Y.real) & jnp.isfinite(Y.imag), Y, 0.0)
+    ok = jnp.all(
+        jnp.isfinite(Y.real) & jnp.isfinite(Y.imag), axis=(-2, -1),
+        keepdims=True,
+    )
+    Yc = jnp.where(ok, Y, 0.0)
     tau = jnp.asarray(tau)[..., None]
     if n <= m:
         G = Yc @ jnp.swapaxes(Yc.conj(), -2, -1)  # (..., n, n)
@@ -42,6 +48,21 @@ def svt(Y: jnp.ndarray, tau) -> jnp.ndarray:
     sig2, V = jnp.linalg.eigh(G)
     f = _shrink_factors(sig2, tau)
     return (Yc @ V) * f[..., None, :] @ jnp.swapaxes(V.conj(), -2, -1)
+
+
+def _resolve_svt_fn(svt_method: str):
+    """Non-tracked inner-prox dispatch shared by mc_svt and mc_admm:
+    'eigh' → :func:`svt`, 'jacobi' → the solver-shared
+    ``ops/jacobi.py::jacobi_svt_fn`` (same sweep count as the proposed
+    ADMM's jacobi path, so A/B comparisons compare like with like);
+    anything else raises instead of silently substituting eigh."""
+    if svt_method == "jacobi":
+        from jstsp19_tpu.ops.jacobi import jacobi_svt_fn
+
+        return jacobi_svt_fn
+    if svt_method == "eigh":
+        return svt
+    raise ValueError(f"unknown svt_method {svt_method!r}")
 
 
 def mc_svt(OH: jnp.ndarray, Omega: jnp.ndarray, Imax: int, tau, rho,
@@ -77,17 +98,7 @@ def mc_svt(OH: jnp.ndarray, Omega: jnp.ndarray, Imax: int, tau, rho,
         )
         return step(Y, tau / rho, U, Imax - 1)[0]
 
-    if svt_method == "jacobi":
-        # eigh-free batched Jacobi prox (ops/jacobi.py) — threaded through
-        # so PointConfig(svt_method='jacobi') runs the same inner loop in
-        # the completion baselines as in the proposed solver (round 5)
-        from jstsp19_tpu.ops.jacobi import svt_jacobi
-
-        svt_fn = lambda Yv, t: svt_jacobi(Yv, t, sweeps=8)  # noqa: E731
-    elif svt_method == "eigh":
-        svt_fn = svt
-    else:
-        raise ValueError(f"unknown svt_method {svt_method!r}")
+    svt_fn = _resolve_svt_fn(svt_method)
 
     def body(_, Y):
         X = svt_fn(Y, tau / rho)
@@ -128,15 +139,17 @@ def mc_admm(
         U0, step = make_tracked_svt(
             N, M, OH.dtype, track_rounds, track_precision
         )
+        svt_fn = None
     else:
         U0 = jnp.zeros((), OH.dtype)
+        svt_fn = _resolve_svt_fn(svt_method)  # eigh / jacobi; raises on typos
 
     def body(carry, i):
         _, Y, Z, U = carry
         if tracked:
             X, U = step(Y - Z / rho, tau / rho, U, i)
         else:
-            X = svt(Y - Z / rho, tau / rho)
+            X = svt_fn(Y - Z / rho, tau / rho)
         Ynew = (OH + Z + rho * X) / denom
         Znew = Z + rho * (X - Ynew)
         # Per-iteration NMSE vs ground truth (`mc_admm.m:26`); Frobenius here
