@@ -122,9 +122,7 @@ def _bigamp_pev_scan(
     if has_x2:
         N2 = A2.shape[1]
         mx2, vx2 = prior_x2.init_moments()
-        X2hat = _rand_init(kX2, (N2, M), mx2, vx2, cdt) * 0.0 + jnp.asarray(
-            mx2, cdt
-        )
+        X2hat = jnp.full((N2, M), mx2, cdt)  # deterministic prior mean
         X2var = jnp.broadcast_to(jnp.asarray(jnp.real(vx2), rdt), (N2, M))
         A2sq = jnp.abs(A2) ** 2
     else:
@@ -160,6 +158,11 @@ def _bigamp_pev_scan(
         XhatBar: jnp.ndarray
         ShatOpt: jnp.ndarray
         SvarOpt: jnp.ndarray
+        # last ACCEPTED output-stage targets (BiGAMP.m keeps shatNew
+        # across failed steps; falling back to the damped Shat compounds
+        # the shrink geometrically on repeated failures)
+        ShatNewOpt: jnp.ndarray
+        SvarNewOpt: jnp.ndarray
         AhatBarOpt: jnp.ndarray
         XhatBarOpt: jnp.ndarray
         AhatOpt: jnp.ndarray
@@ -188,14 +191,21 @@ def _bigamp_pev_scan(
         XhatBar=Xhat,
         ShatOpt=Shat,
         SvarOpt=Svar,
+        ShatNewOpt=Shat,
+        SvarNewOpt=Svar,
         AhatBarOpt=Ahat,
         XhatBarOpt=Xhat,
         AhatOpt=Ahat,
         XhatOpt=Xhat,
         pvarOpt=jnp.zeros((L, M), rdt),
         zvarOpt=jnp.zeros((L, M), rdt),
-        step=jnp.asarray(1.0, rdt),  # step1=1 on the first iteration
-        val_window=jnp.full((max(opts.step_window, 0) + 1,), -jnp.inf, rdt),
+        # the first-iteration step1=1 special case is handled inside the
+        # body; the carried step must start at the CONFIGURED opts.step
+        # (a 1.0 init silently ran ~10x the documented 0.05 default)
+        step=jnp.asarray(opts.step, rdt),
+        # +inf fill: unpopulated slots never win the min, so the
+        # acceptance test is live from iteration 2 (see gamp_full r5)
+        val_window=jnp.full((max(opts.step_window, 0) + 1,), jnp.inf, rdt),
         val_in=jnp.zeros((), rdt),
         Rx=Xhat,
         rvar_x=jnp.ones((R, M), rdt),
@@ -228,11 +238,13 @@ def _bigamp_pev_scan(
         # ---- cost and pass test (BiGAMP.m:423-456) ----
         val = jnp.sum(m * out_loglike(zhat, pvar)) + c.val_in
         val = val.astype(rdt)
+        _val_min = jnp.min(c.val_window)
         passed = (
             (c.it == 0)
             | jnp.asarray(not opts.adapt_step)
             | (c.step <= opts.step_min)
-            | (val > jnp.min(c.val_window))
+            | (val > _val_min)
+            | ~jnp.isfinite(_val_min)  # empty window auto-pass (see gamp_full)
         )
 
         def sel(new, old):
@@ -250,7 +262,7 @@ def _bigamp_pev_scan(
             passed,
             jnp.roll(c.val_window, -1)
             .at[-1]
-            .set(jnp.where(jnp.isnan(val), -jnp.inf, val)),
+            .set(jnp.where(jnp.isnan(val), jnp.inf, val)),
             c.val_window,
         )
 
@@ -261,8 +273,8 @@ def _bigamp_pev_scan(
         SvarNew = pvar_inv * (
             1.0 - jnp.minimum(zvar0 / pvar_b, opts.zvar_to_pvar_max)
         )
-        ShatNew = sel(ShatNew, c.Shat)
-        SvarNew = sel(SvarNew, c.Svar)
+        ShatNew = sel(ShatNew, c.ShatNewOpt)
+        SvarNew = sel(SvarNew, c.SvarNewOpt)
 
         step = jnp.where(
             passed,
@@ -358,6 +370,8 @@ def _bigamp_pev_scan(
                 XhatBar=XhatBar,
                 ShatOpt=ShatOpt,
                 SvarOpt=SvarOpt,
+                ShatNewOpt=ShatNew,
+                SvarNewOpt=SvarNew,
                 AhatBarOpt=AhatBarOpt,
                 XhatBarOpt=XhatBarOpt,
                 AhatOpt=AhatOpt,
@@ -417,12 +431,15 @@ def bigamp_pev(
         init_A,
         init_X,
     )
-    Z = c.AhatOpt @ c.XhatOpt
+    # final iterates (BiGAMP.m estFin exports xhat/Ahat of the LAST
+    # input-stage update) — the *Opt slots lag one iteration and would
+    # pair a stale A/X with the final Avar/Xvar
+    Z = c.Ahat @ c.Xhat
     if has_x2:
         Z = Z + A2 @ c.X2hat
     return BigAmpFullResult(
-        A=c.AhatOpt,
-        X=c.XhatOpt,
+        A=c.Ahat,
+        X=c.Xhat,
         Z=Z,
         Avar=c.Avar,
         Xvar=c.Xvar,
@@ -545,11 +562,14 @@ def bigamp_lite(
         def sel(new, old):
             return jnp.where(passed, new, old)
 
+        pvarOpt = sel(pvar, pvarOpt0)
+        # Vgain uses the freshly-accepted pvarOpt like every other gain in
+        # this iteration (BiGAMP_Lite.m) — the stale pvarOpt0 denominator
+        # was an off-by-one in the Onsager correction (round 5)
         Vgain = sel(
-            (c.Avar * Xf2 / M + c.Xvar * Af2 / L) / (pvarOpt0 + nuw), c.Vgain
+            (c.Avar * Xf2 / M + c.Xvar * Af2 / L) / (pvarOpt + nuw), c.Vgain
         )
         holderOpt = sel(holder, c.holderOpt)
-        pvarOpt = sel(pvar, pvarOpt0)
         xhatOpt = sel(c.Xhat, c.xhatOpt)
         AhatOpt = sel(c.Ahat, c.AhatOpt)
         xBarOpt0 = sel(c.xBar, c.xBarOpt)

@@ -215,7 +215,12 @@ def _init_state(prior, likelihood, op, opts, x_init, xvar_init, cplx):
     nanm = jnp.full((m,), jnp.nan, jnp.float32)
     nanx = jnp.full((n,), jnp.nan, xdtype)
     nanz = jnp.full((m,), jnp.nan, xdtype)
-    window = jnp.full((max(opts.step_window, 0) + 1,), -jnp.inf, jnp.float32)
+    # +inf fill: unpopulated slots never win the min, so the acceptance
+    # test `val >= min(window)` becomes real as soon as ONE value has
+    # been recorded (the reference grows valOpt from empty — a step can
+    # fail from iteration 2).  A -inf fill disabled adaptation entirely
+    # for the first step_window+1 iterations (round 5).
+    window = jnp.full((max(opts.step_window, 0) + 1,), jnp.inf, jnp.float32)
     return GampState(
         it=jnp.zeros((), jnp.int32),
         stopped=jnp.zeros((), bool),
@@ -343,6 +348,10 @@ def _gamp_scan(prior, op, state: GampState, opts: GampOptions, column_norms):
             | jnp.asarray(not adapt)
             | (st.step <= opts.step_min)
             | (val >= val_min)
+            # no finite utility recorded yet (the it-0 NaN-sentinel val is
+            # stored as +inf): auto-pass, the reference's isempty(valMin)
+            # branch (gampEst.m:454)
+            | ~jnp.isfinite(val_min)
         )
 
         # ---- pass branch: anchors, window, exports (gampEst.m:465-519) ----
@@ -350,6 +359,41 @@ def _gamp_scan(prior, op, state: GampState, opts: GampOptions, column_norms):
             return jax.tree_util.tree_map(
                 lambda a, b: jnp.where(passed, a, b), new, old
             )
+
+        # likelihood autotuning on pass (CAwgnEstimOut.m ML tuning)
+        if opts.tune_wvar:
+            if isinstance(like, ConcatLikelihood):
+                # mean-removal augmentation wraps the original likelihood
+                # as the FIRST Concat block (the augmented rows are exact
+                # zero-observation Diracs with nothing to tune) — tune
+                # that block on its own slice, as the reference's
+                # gampEst + autoTune + LinTransDemeanRC combination does
+                base = like.likes[0]
+                m0 = like.sizes[0]
+                pv0 = (
+                    pvar_robust[..., :m0]
+                    if jnp.ndim(pvar_robust)
+                    else pvar_robust
+                )
+                wvar_new = base.tune_wvar_ml(phat[..., :m0], pv0)
+                base = dataclasses.replace(
+                    base, wvar=jnp.where(passed, wvar_new, base.wvar)
+                )
+                like = dataclasses.replace(
+                    like, likes=(base,) + like.likes[1:]
+                )
+            else:
+                wvar_new = like.tune_wvar_ml(phat, pvar_robust)
+                like = dataclasses.replace(
+                    like, wvar=jnp.where(passed, wvar_new, like.wvar)
+                )
+            # utilities are only comparable under ONE noise level: after a
+            # tune, re-evaluate the utility under the tuned likelihood so
+            # the acceptance window keeps a consistent baseline (otherwise
+            # each tune inflates val vs stale entries and the tune/accept
+            # feedback spirals wvar toward zero)
+            val = val_out_fn(like, axhat, pvar, phat) + st.val_in
+
 
         a2xvar_opt = sel(a2xvar, st.a2xvar_opt)
         pvar_opt = sel(pvar, st.pvar_opt)
@@ -359,9 +403,12 @@ def _gamp_scan(prior, op, state: GampState, opts: GampOptions, column_norms):
         xhat_damp_opt = sel(st.xhat_damp, st.xhat_damp_opt)
         xhat_opt = sel(st.xhat, st.xhat_opt)
         val_window = sel(
+            # a NaN utility (forced pass) records +inf, which never
+            # constrains future acceptances — recording -inf silently
+            # re-disabled adaptation for a whole window length
             jnp.roll(st.val_window, -1)
             .at[-1]
-            .set(jnp.where(jnp.isnan(val), -jnp.inf, val)),
+            .set(jnp.where(jnp.isnan(val), jnp.inf, val)),
             st.val_window,
         )
         xhat_prev_final = sel(st.xhat_final, st.xhat_prev_final)
@@ -402,12 +449,6 @@ def _gamp_scan(prior, op, state: GampState, opts: GampOptions, column_norms):
         shat_new = sel(shat_cand, st.shat_new)
         svar_new = sel(svar_cand, st.svar_new)
 
-        # likelihood autotuning on pass (CAwgnEstimOut.m ML tuning)
-        if opts.tune_wvar:
-            wvar_new = like.tune_wvar_ml(phat, pvar_robust)
-            like = dataclasses.replace(
-                like, wvar=jnp.where(passed, wvar_new, like.wvar)
-            )
 
         # ---- step update (gampEst.m:526-557) ----
         step_pass = st.step
@@ -551,6 +592,7 @@ def _xvar0_auto(prior, likelihood, op, xhat0, opts, iters: int = 20):
     fixed point of GAMP's variance propagation with the means pinned at
     ``xhat0`` via inverted estimators."""
     eps = 1e-20
+    xhat0 = jnp.broadcast_to(jnp.asarray(xhat0), op.in_shape)  # scalar ok
     ax = op.mv(xhat0)
     xvar0 = jnp.maximum(jnp.mean(jnp.abs(xhat0) ** 2), 1e-12)
     xvar = jnp.broadcast_to(xvar0.astype(jnp.float32), op.in_shape)
@@ -602,7 +644,16 @@ def gamp_est(
         )
     prior_a, like_a, op_a = augment_problem(prior, likelihood, op, opts)
     if state_in is None:
-        state = _init_state(prior_a, like_a, op_a, opts, x_init, xvar_init, cplx)
+        # with remove_mean, (n,)-shaped user inits can't seed the (n+2,)
+        # augmented state directly — init with the prior placeholders and
+        # apply the exact expansion below (round 5: a vector x_init /
+        # xvar_init / the xvar0auto output previously crashed broadcasting)
+        state = _init_state(
+            prior_a, like_a, op_a, opts,
+            None if opts.remove_mean else x_init,
+            None if opts.remove_mean else xvar_init,
+            cplx,
+        )
         if opts.remove_mean:
             # replace the NullPrior placeholder init of the two augmented
             # entries by the exact expansion (gampEst.m:271-272)
@@ -614,7 +665,12 @@ def gamp_est(
                 else state.xhat[..., :n]
             )
             x_exp = dm.expand_xhat(jnp.broadcast_to(x_base, (n,)))
-            v_exp = dm.expand_xvar(state.xvar[..., :n])
+            v_base = (
+                jnp.asarray(xvar_init, jnp.float32)
+                if xvar_init is not None
+                else state.xvar[..., :n]
+            )
+            v_exp = dm.expand_xvar(jnp.broadcast_to(v_base, (n,)))
             state = state._replace(xhat=x_exp, xhat_opt=x_exp, xvar=v_exp)
     else:
         state = state_in
@@ -624,24 +680,21 @@ def gamp_est(
         column_norms = jnp.zeros(op_a.in_shape, jnp.float32)
     state, hist = _gamp_scan(prior_a, op_a, state, opts, column_norms)
 
-    def contract(v, side):
-        if not opts.remove_mean:
-            return v
-        k = 2
-        return v[..., :-k] if side else v[..., :-k]
+    def contract(v):
+        return v[..., :-2] if opts.remove_mean else v
 
     estfin = GampEstFin(
-        xhat=contract(state.xhat_final, 0),
-        xvar=contract(state.xvar_final, 0),
-        rhat=contract(state.rhat_final, 0),
-        rvar=contract(state.rvar_final, 0),
-        phat=contract(state.phat_final, 1),
-        pvar=contract(state.pvar_final, 1),
-        zhat=contract(state.zhat_final, 1),
-        zvar=contract(state.zvar_final, 1),
-        shat=contract(state.shat_final, 1),
-        svar=contract(state.svar_final, 1),
-        axhat=contract(state.axhat_final, 1),
+        xhat=contract(state.xhat_final),
+        xvar=contract(state.xvar_final),
+        rhat=contract(state.rhat_final),
+        rvar=contract(state.rvar_final),
+        phat=contract(state.phat_final),
+        pvar=contract(state.pvar_final),
+        zhat=contract(state.zhat_final),
+        zvar=contract(state.zvar_final),
+        shat=contract(state.shat_final),
+        svar=contract(state.svar_final),
+        axhat=contract(state.axhat_final),
         val=state.val,
         step=state.step,
         nit=state.it,

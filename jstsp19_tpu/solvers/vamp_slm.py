@@ -36,9 +36,6 @@ def vamp_slm(prior, y, op, gamw, nit: int = 50, damp: float = 0.9) -> VampSlmRes
     (KronDictOp) and ``rmv``; ``gamw`` is the noise precision.
     """
     Va, Vb, d = op.gram_in_eig()
-    N = 1
-    for s in op.in_shape:
-        N *= s
     Ahy = op.rmv(y)
     Ahy_t = op.to_eigbasis(Va, Vb, Ahy)
 

@@ -109,7 +109,12 @@ def test_awbgn_gamp_impulsive_recovery():
     # posterior variance collapses toward 0, which makes f32 GAMP dynamics
     # knife-edge without a precision floor — pvar_min (the reference's
     # GampOpt pvarMin) restores robust convergence.
-    opts = GampOptions(nit=80, pvar_min=1e-6)
+    # adapt_step off: AwbgnEstimOut.m's own warning — its lower-bound cost
+    # "may return incorrect cost when using adaptive step size" — became
+    # operative once round 5 made the acceptance window live from
+    # iteration 2 (reference-faithful); the inexact cost then rejects
+    # every step and the run stalls at the init, in MATLAB as here.
+    opts = GampOptions(nit=80, pvar_min=1e-6, adapt_step=False)
     fin_awbgn, _, _ = gamp_est(
         prior,
         AwbgnLikelihood(y=y, wvar=jnp.asarray(wvar), lam=jnp.asarray(lam)),

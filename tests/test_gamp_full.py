@@ -113,8 +113,13 @@ def test_mean_removal_rescues_mean_heavy_operator():
     prior, like, op, x = _bg_problem(seed=3, cplx=False, mean=1.0)
     fin_plain, _, _ = gamp_est(prior, like, op, GampOptions(nit=100))
     fin_dm, _, _ = gamp_est(prior, like, op, GampOptions(nit=100, remove_mean=True))
-    assert _nmse(fin_plain.xhat, x) > 1.0  # diverges or stalls
-    assert 10 * np.log10(_nmse(fin_dm.xhat, x)) < -25.0
+    # round 5: the reference-faithful acceptance window (live from
+    # iteration 2) stabilizes even the plain run to a stall instead of a
+    # divergence — the rescue claim is the >=20 dB gap, not a blowup
+    nmse_plain = _nmse(fin_plain.xhat, x)
+    nmse_dm = _nmse(fin_dm.xhat, x)
+    assert nmse_plain > 100 * nmse_dm, (nmse_plain, nmse_dm)
+    assert 10 * np.log10(nmse_dm) < -25.0
 
 
 def test_tune_wvar_recovers_noise_level():
@@ -288,3 +293,39 @@ def test_stop_fn_custom_criterion():
     np.testing.assert_array_equal(
         np.asarray(fin_stop.xhat), np.asarray(fin_10.xhat)
     )
+
+
+def test_remove_mean_with_vector_init_and_autotune():
+    """Round-5 crash fixes: remove_mean with (n,)-shaped x_init/xvar_init
+    (the augmented state is (n+2,)), remove_mean + tune_wvar (the ML
+    noise autotune now reaches through the Concat augmentation to the
+    original likelihood block), and xvar0auto with a scalar x_init."""
+    prior, like, op, x = _bg_problem(seed=5, mean=0.3)
+    x0 = jnp.zeros(op.in_shape, jnp.complex64)
+    fin, _, _ = gamp_est(
+        prior, like, op,
+        GampOptions(nit=40, remove_mean=True),
+        x_init=x0, xvar_init=jnp.full(op.in_shape, 0.5, jnp.float32),
+    )
+    assert fin.xhat.shape == op.in_shape
+    assert _nmse(fin.xhat, x) < 0.1
+    fin2, _, _ = gamp_est(
+        prior, like, op,
+        GampOptions(nit=40, remove_mean=True, tune_wvar=True),
+    )
+    assert _nmse(fin2.xhat, x) < 0.1
+    # scalar x_init must broadcast through _xvar0_auto (crash fix); a
+    # zero "point estimate" is degenerate, so only assert finiteness
+    fin3, _, _ = gamp_est(
+        prior, like, op,
+        GampOptions(nit=10, xvar0auto=True),
+        x_init=jnp.zeros((), jnp.complex64),
+    )
+    assert bool(jnp.all(jnp.isfinite(fin3.xhat.real)))
+    # the mode's actual use: a good point estimate -> auto xvar keeps it
+    fin4, _, _ = gamp_est(
+        prior, like, op,
+        GampOptions(nit=40, xvar0auto=True),
+        x_init=jnp.asarray(x, jnp.complex64),
+    )
+    assert _nmse(fin4.xhat, x) < 1e-2
