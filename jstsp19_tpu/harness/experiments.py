@@ -570,6 +570,20 @@ def error_vs_snr_nyuwireless(n_mc=8, seed=0, mesh=None, mat_path=None, **kw):
         dims.setdefault("Mr", max(1, Nr // 8))
         kw = {**dims, **kw}
     base = PointConfig(methods=("ls", "vamp", "proposed", "proposed_angles"), **kw)
+    if taps is None:
+        # synthetic stand-in for the absent .mat: draw n_mc channels once
+        # (fixed across SNR points, like the ray-traced file) and run them
+        # through the SAME per-tap normalization as the ingestion path —
+        # the docstring contract round 5 made real (previously the
+        # normalization was silently skipped on this branch)
+        keys = prng.realization_keys(prng.experiment_key(seed), 9999, n_mc)
+        gen = jax.vmap(
+            lambda k: wideband_mmwave_channel(
+                prng.role_key(k, prng.ROLE_CHANNEL), base.L, base.Nr,
+                base.Nt, base.n_clusters, base.n_rays, base.Gr, base.Gt,
+            ).H
+        )
+        taps = normalize_taps(gen(keys))
     return run_sweep(
         "error_vs_snr_nyuwireless", "snr_db", list(range(-15, 16, 3)),
         point_fn=lambda s: base, noise_fn=_nv, n_mc=n_mc, seed=seed, mesh=mesh,

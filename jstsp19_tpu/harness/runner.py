@@ -140,10 +140,15 @@ def run_point(
         keys = jax.device_put(keys, sh)
         if taps is not None:
             taps = jax.device_put(taps, NamedSharding(mesh, P(mesh.axis_names[0])))
-    if pc.svt_method == "pallas" and taps is not None:
-        # The fused kernel's batch entry point doesn't take external taps;
-        # fall back to the numerically equivalent per-realization tracked
-        # path (the kernel IS the tracked algorithm, fused — PERF.md).
+    if pc.svt_method == "pallas" and (
+        taps is not None or pc.Mr_e > pc.T * pc.Nt
+    ):
+        # The fused kernel's batch entry point doesn't take external taps,
+        # and it has no N > M transpose branch (nrf-family shapes like
+        # T=5: obs.Y is Mr_e x T*Nt with Mr_e > T*Nt); fall back to the
+        # numerically equivalent per-realization tracked path, which
+        # handles both (the kernel IS the tracked algorithm, fused —
+        # PERF.md; ops/tracked.py transposes internally for N > M).
         pc = dataclasses.replace(pc, svt_method="tracked")
     if pc.svt_method == "pallas":
         # Batch-level fused Pallas path for the proposed estimators (the

@@ -185,14 +185,15 @@ def _fused_admm_kernel(
 
     def body(i, st):
         (Xr, Xi, V1r, V1i, V2r, V2i, Cr, Ci, Sr, Si, vr, vi, Ur, Ui,
-         Yr, Yi) = st
+         Yr, Yi, XsBr, XsBi) = st
 
         # -- sub 1: tracked-SVT nuclear prox of W = X − V1/ρ -------------
         Wr = Xr - V1r * inv_rho
         Wi = Xi - V1i * inv_rho
-        finite = jnp.isfinite(Wr) & jnp.isfinite(Wi)
-        Wr = jnp.where(finite, Wr, 0.0)
-        Wi = jnp.where(finite, Wi, 0.0)
+        # matrix-level NaN reset (svt.m semantics, as in ops/tracked.py)
+        ok = jnp.all(jnp.isfinite(Wr) & jnp.isfinite(Wi))
+        Wr = jnp.where(ok, Wr, 0.0)
+        Wi = jnp.where(ok, Wi, 0.0)
         Gr_, Gi_ = _cmm_nh(Wr, Wi, Wr, Wi, prec=_HI)        # W Wᴴ (N,N)
         Qr, Qi = _cmm(Gr_, Gi_, Ur, Ui, prec=_HI)           # G U
         Tr, Ti = _cmm_hn(Ur, Ui, Qr, Qi, prec=_HI)          # Uᴴ G U
@@ -208,10 +209,11 @@ def _fused_admm_kernel(
         Yr, Yi = _cmm(Ur * f, Ui * f, PWr, PWi, prec=_HI)   # (U f) (Uᴴ W)
 
         # -- sub 2: masked LS — diagonal solve ----------------------------
-        ASr, ASi = _cmm(Ar, Ai, Sr, Si)                      # A S (N,K)
-        ASBr, ASBi = _cmm(ASr, ASi, Br, Bi)                  # A S B (N,M)
-        Xr = (V1r + rho * Yr + sYr + V2r + rho * Cr + rho * ASBr) * dinv
-        Xi = (V1i + rho * Yi + sYi + V2i + rho * Ci + rho * ASBi) * dinv
+        # XsB carries the previous iteration's A S B (computed at the end
+        # of sub 3 for the SAME S) — recomputing it here cost 6 redundant
+        # real MXU dots per iteration (round 5; mirrors AdmmState.Xs)
+        Xr = (V1r + rho * Yr + sYr + V2r + rho * Cr + rho * XsBr) * dinv
+        Xi = (V1i + rho * Yi + sYi + V2i + rho * Ci + rho * XsBi) * dinv
 
         # -- sub 3: sparse code — one SD step on the kron-free normal eqs
         Kr = Xr - V2r * inv_rho - Cr
@@ -252,13 +254,13 @@ def _fused_admm_kernel(
         V2i = V2i + rho * (Ci - Xi + XsBi)
 
         return (Xr, Xi, V1r, V1i, V2r, V2i, Cr, Ci, Sr, Si, vr, vi,
-                Ur, Ui, Yr, Yi)
+                Ur, Ui, Yr, Yi, XsBr, XsBi)
 
     M = sYr.shape[1]
     zNM = jnp.zeros((N, M), jnp.float32)
     zGK = jnp.zeros((Gr, K), jnp.float32)
     init = (zNM, zNM, zNM, zNM, zNM, zNM, zNM, zNM, zGK, zGK, zGK, zGK,
-            eyeN, jnp.zeros((N, N), jnp.float32), zNM, zNM)
+            eyeN, jnp.zeros((N, N), jnp.float32), zNM, zNM, zNM, zNM)
     final = jax.lax.fori_loop(0, Imax, body, init)
     s_re_o[0] = final[8]
     s_im_o[0] = final[9]

@@ -90,7 +90,10 @@ class SubsetOp(LinOp):
         full = jnp.zeros(
             y.shape[:-1] + tuple(self.base.out_shape), dtype=y.dtype
         )
-        return full.at[..., np.asarray(self.idx)].set(y)
+        # .add, not .set: the adjoint of a gather must ACCUMULATE when
+        # idx repeats a row (LinTransSubset.m permits duplicates);
+        # identical for unique idx
+        return full.at[..., np.asarray(self.idx)].add(y)
 
     def mv(self, x):
         return self._gather(self.base.mv(x))
@@ -301,6 +304,12 @@ class MedImageOp(LinOp):
     def __post_init__(self):
         if (self.ny & (self.ny - 1)) or (self.nx & (self.nx - 1)):
             raise ValueError("MedImageOp requires power-of-two image dims")
+        max_lv = min(self.ny, self.nx).bit_length() - 1
+        if not 1 <= self.levels <= max_lv:
+            raise ValueError(
+                f"levels must be in [1, {max_lv}] for a "
+                f"{self.ny}x{self.nx} image, got {self.levels}"
+            )
 
     @property
     def in_shape(self):
@@ -365,7 +374,7 @@ class MedImageOp(LinOp):
     def rmv(self, z):
         full = jnp.zeros(
             z.shape[:-1] + (self.ny * self.nx,), jnp.complex64
-        ).at[..., np.asarray(self.mask_idx)].set(z)
+        ).at[..., np.asarray(self.mask_idx)].add(z)  # adjoint accumulates
         img = jnp.fft.ifft2(
             full.reshape(full.shape[:-1] + (self.ny, self.nx)), norm="ortho"
         )
@@ -561,11 +570,11 @@ def demean_rc(base: LinOp) -> DemeanRCOp:
     fro2 = (
         jnp.sum(base.sq_mv(jnp.real(ones_n)))
         - 2.0
-        * jnp.real(
-            jnp.vdot(gam, A1)
-            + jnp.sum(base.mv(col))
-            + jnp.sum(gam) * jnp.sum(col)
-        )
+        * jnp.real(jnp.vdot(gam, A1) + jnp.sum(base.mv(col)))
+        # cross term of the expansion is POSITIVE: +2Re<gam 1^T, 1 col^H>
+        # = +2Re(sum(gam) sum(col)); it currently vanishes (sum(col) == 0
+        # by construction) but the sign matters for any future col variant
+        + 2.0 * jnp.real(jnp.sum(gam) * jnp.sum(col))
         + n * jnp.sum(gam2)
         + m * jnp.sum(col2)
     )
@@ -661,13 +670,24 @@ class FxnhandleOp(LinOp):
             k *= s
         return k
 
-    def sq_mv(self, x):
+    def _sq(self, v, from_shape, to_shape):
+        # Frobenius rank-1 variance approx, batched like every other op:
+        # sum only over the operator's own trailing axes and broadcast
+        # the scalar into (batch..., to_shape) — a global jnp.sum silently
+        # collapsed leading batch dims (round 5)
         m, n = self._numel(self.shape_out), self._numel(self.shape_in)
-        return jnp.full(self.shape_out, self.fro2 / (m * n) * jnp.sum(x))
+        s = jnp.sum(v, axis=tuple(range(-len(from_shape), 0)))
+        s = self.fro2 / (m * n) * s
+        return jnp.broadcast_to(
+            s[(...,) + (None,) * len(to_shape)],
+            jnp.shape(s) + tuple(to_shape),
+        )
+
+    def sq_mv(self, x):
+        return self._sq(x, self.shape_in, self.shape_out)
 
     def sq_rmv(self, y):
-        m, n = self._numel(self.shape_out), self._numel(self.shape_in)
-        return jnp.full(self.shape_in, self.fro2 / (m * n) * jnp.sum(y))
+        return self._sq(y, self.shape_out, self.shape_in)
 
 
 _register(FxnhandleOp, ("fro2",), ("mv_fn", "rmv_fn", "shape_in", "shape_out"))

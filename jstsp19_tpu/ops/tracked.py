@@ -78,7 +78,11 @@ def make_tracked_svt(N: int, M: int, cdt, track_rounds: int = 1,
         return U, P
 
     def _step_thin(W, tau, U, i):
-        Wc = jnp.where(jnp.isfinite(W.real) & jnp.isfinite(W.imag), W, 0.0)
+        # svt.m's MATRIX-level NaN reset (any non-finite entry zeroes the
+        # whole matrix) — same semantics as lowrank.svt / svt_jacobi so
+        # 'tracked' and 'eigh' stay trajectory-identical on the guard path
+        ok = jnp.all(jnp.isfinite(W.real) & jnp.isfinite(W.imag))
+        Wc = jnp.where(ok, W, 0.0)
         with jax.default_matmul_precision(precision):
             P = U.conj().T @ Wc
             U2, P2 = _rounds(U, P, (i * track_rounds) % (Ns - 1))
