@@ -185,7 +185,7 @@ def _fused_admm_kernel(
 
     def body(i, st):
         (Xr, Xi, V1r, V1i, V2r, V2i, Cr, Ci, Sr, Si, vr, vi, Ur, Ui,
-         Yr, Yi, XsBr, XsBi) = st
+         Yr, Yi) = st
 
         # -- sub 1: tracked-SVT nuclear prox of W = X − V1/ρ -------------
         Wr = Xr - V1r * inv_rho
@@ -209,11 +209,12 @@ def _fused_admm_kernel(
         Yr, Yi = _cmm(Ur * f, Ui * f, PWr, PWi, prec=_HI)   # (U f) (Uᴴ W)
 
         # -- sub 2: masked LS — diagonal solve ----------------------------
-        # XsB carries the previous iteration's A S B (computed at the end
-        # of sub 3 for the SAME S) — recomputing it here cost 6 redundant
-        # real MXU dots per iteration (round 5; mirrors AdmmState.Xs)
-        Xr = (V1r + rho * Yr + sYr + V2r + rho * Cr + rho * XsBr) * dinv
-        Xi = (V1i + rho * Yi + sYi + V2i + rho * Ci + rho * XsBi) * dinv
+        # (recompute A S B of the carried S: measured faster than carrying
+        # the product across iterations — see solvers/admm.py round-5 note)
+        ASr, ASi = _cmm(Ar, Ai, Sr, Si)                      # A S (N,K)
+        ASBr, ASBi = _cmm(ASr, ASi, Br, Bi)                  # A S B (N,M)
+        Xr = (V1r + rho * Yr + sYr + V2r + rho * Cr + rho * ASBr) * dinv
+        Xi = (V1i + rho * Yi + sYi + V2i + rho * Ci + rho * ASBi) * dinv
 
         # -- sub 3: sparse code — one SD step on the kron-free normal eqs
         Kr = Xr - V2r * inv_rho - Cr
@@ -254,13 +255,13 @@ def _fused_admm_kernel(
         V2i = V2i + rho * (Ci - Xi + XsBi)
 
         return (Xr, Xi, V1r, V1i, V2r, V2i, Cr, Ci, Sr, Si, vr, vi,
-                Ur, Ui, Yr, Yi, XsBr, XsBi)
+                Ur, Ui, Yr, Yi)
 
     M = sYr.shape[1]
     zNM = jnp.zeros((N, M), jnp.float32)
     zGK = jnp.zeros((Gr, K), jnp.float32)
     init = (zNM, zNM, zNM, zNM, zNM, zNM, zNM, zNM, zGK, zGK, zGK, zGK,
-            eyeN, jnp.zeros((N, N), jnp.float32), zNM, zNM, zNM, zNM)
+            eyeN, jnp.zeros((N, N), jnp.float32), zNM, zNM)
     final = jax.lax.fori_loop(0, Imax, body, init)
     s_re_o[0] = final[8]
     s_im_o[0] = final[9]

@@ -38,9 +38,6 @@ class AdmmState(NamedTuple):
     Y: jnp.ndarray
     S: jnp.ndarray  # thresholded sparse code (used in the X-update)
     v: jnp.ndarray  # pre-threshold code (steepest-descent iterate)
-    # A·S·B of the stored S — carried so the X-update reuses the previous
-    # iteration's product instead of recomputing two matmuls (round 5)
-    Xs: Optional[jnp.ndarray] = None
     # tracked-SVT carry (svt_method='tracked' only): the warm eigenbasis
     # and the global iteration count (rotation-schedule phase), so a
     # chunked resume is BIT-exact instead of restarting the basis at eye
@@ -190,8 +187,6 @@ def proposed_admm(
     State = AdmmState
     if init_state is not None:
         init = init_state
-        if init.Xs is None:
-            init = init._replace(Xs=A @ init.S @ B)
     else:
         init = State(
             X=zeros_nm,
@@ -201,7 +196,6 @@ def proposed_admm(
             Y=zeros_nm,
             S=jnp.zeros((Gr, K), cdt),
             v=jnp.zeros((Gr, K), cdt),
-            Xs=zeros_nm,
         )
     # global iteration offset: keeps the tracked rotation-schedule phase
     # (and the angles support schedule) continuous across chunked resumes
@@ -243,8 +237,11 @@ def proposed_admm(
             Y = svt_fn(st.X - st.V1 / rho, tau_Y / rho)
 
         # -- sub 2: masked LS (diagonal solve) ---------------------------
-        # st.Xs carries the previous iteration's A·S·B (two matmuls saved)
-        b = st.V1 + rho * Y + subY + st.V2 + rho * st.C + rho * st.Xs
+        # NOTE: recomputing A·S·B here is FASTER on TPU than carrying it
+        # through the scan state (interleaved on-chip A/B, round 5:
+        # 3497 vs 3335 est/s at b256 — two small MXU matmuls cost less
+        # than the extra (N, M) complex carry's memory traffic)
+        b = st.V1 + rho * Y + subY + st.V2 + rho * st.C + rho * (A @ st.S @ B)
         X = b / denom
 
         # -- sub 3: sparse code ------------------------------------------
@@ -281,7 +278,7 @@ def proposed_admm(
             conv = jnp.stack([sqn(V1) / nx, sqn(V2) / nx, conv3])
         else:
             conv = jnp.zeros((0,), subY.real.dtype)
-        return (State(X, V1, V2, C, Y, S, v, Xs), U), conv
+        return (State(X, V1, V2, C, Y, S, v), U), conv
 
     (final, Ufin), conv = jax.lax.scan(body, (init, U0), jnp.arange(Imax))
     final = final._replace(U=Ufin if tracked else None, it=it0 + Imax)
