@@ -84,7 +84,12 @@ def em_bg_vamp(y, op, n_em: int = 8, nit: int = 30) -> EmGmResult:
         prior_new = _bernoulli_gauss_em_update(prior, res.r1, rvar)
         xhat, xvar = prior_new.estim(res.r1, rvar)
         resid = y - op.mv(xhat)
-        nv_new = jnp.maximum(jnp.mean(jnp.abs(resid) ** 2), 1e-10)
+        # EM AWGN update: E|y - Ax|^2 = |y - A xhat|^2 + A-propagated
+        # posterior variance (EMGMAMP's update; dropping the variance term
+        # biases nv low and over-sharpens the learned prior — round 5)
+        nv_new = jnp.maximum(
+            jnp.mean(jnp.abs(resid) ** 2) + jnp.mean(op.sq_mv(xvar)), 1e-10
+        )
         return (prior_new, nv_new), None
 
     (prior, noise_var), _ = jax.lax.scan(
@@ -127,11 +132,16 @@ def _gm_responsibilities(prior: SparsePrior, r, rvar):
 def _gm_em_update(prior: SparsePrior, r, rvar):
     py1, resp, gamma, nu = _gm_responsibilities(prior, r, rvar)
     w = py1[..., None] * resp  # joint responsibility of (active, comp k)
-    mass_k = jnp.maximum(jnp.sum(w, axis=0), 1e-12)
+    # reduce over ALL non-component axes so matrix-form (2-D) pseudo-data
+    # works (the repo's KronDictOp convention); axis=0 alone produced
+    # per-column mixtures that break the scan carry structure (round 5)
+    red = tuple(range(w.ndim - 1))
+    mass_k = jnp.maximum(jnp.sum(w, axis=red), 1e-12)
     weights = mass_k / jnp.maximum(jnp.sum(py1), 1e-12)
-    means = jnp.sum(w * gamma, axis=0) / mass_k
+    means = jnp.sum(w * gamma, axis=red) / mass_k
     variances = jnp.maximum(
-        jnp.sum(w * (jnp.abs(gamma - means) ** 2 + nu), axis=0) / mass_k, 1e-10
+        jnp.sum(w * (jnp.abs(gamma - means) ** 2 + nu), axis=red) / mass_k,
+        1e-10,
     )
     p1 = jnp.clip(jnp.mean(py1), 1e-4, 1.0 - 1e-4)
     weights = jnp.maximum(weights, 1e-8)
@@ -179,9 +189,14 @@ def em_gm_vamp(
         res = vamp_slm(prior, y, op, gamw=1.0 / noise_var, nit=nit)
         rvar = 1.0 / res.gam1
         prior_new = _gm_em_update(prior, res.r1, rvar)
-        xhat, _ = prior_new.estim(res.r1, rvar)
+        xhat, xvar = prior_new.estim(res.r1, rvar)
         resid = y - op.mv(xhat)
-        nv_new = jnp.maximum(jnp.mean(jnp.abs(resid) ** 2), 1e-10)
+        # EM AWGN update: E|y - Ax|^2 = |y - A xhat|^2 + A-propagated
+        # posterior variance (EMGMAMP's update; dropping the variance term
+        # biases nv low and over-sharpens the learned prior — round 5)
+        nv_new = jnp.maximum(
+            jnp.mean(jnp.abs(resid) ** 2) + jnp.mean(op.sq_mv(xvar)), 1e-10
+        )
         return (prior_new, nv_new), None
 
     (prior, noise_var), _ = jax.lax.scan(
@@ -230,11 +245,12 @@ def _nngm_em_update(prior, r, rvar):
     )
     py1 = 1.0 / (1.0 + jnp.exp(exparg))
     w = py1[..., None] * resp
-    mass_k = jnp.maximum(jnp.sum(w, axis=0), 1e-12)
+    red = tuple(range(w.ndim - 1))  # all non-component axes (matrix-form ok)
+    mass_k = jnp.maximum(jnp.sum(w, axis=red), 1e-12)
     weights = mass_k / jnp.maximum(jnp.sum(py1), 1e-12)
-    means = jnp.sum(w * mean_k, axis=0) / mass_k
+    means = jnp.sum(w * mean_k, axis=red) / mass_k
     variances = jnp.maximum(
-        jnp.sum(w * ((mean_k - means) ** 2 + var_k), axis=0) / mass_k, 1e-10
+        jnp.sum(w * ((mean_k - means) ** 2 + var_k), axis=red) / mass_k, 1e-10
     )
     weights = jnp.maximum(weights, 1e-8)
     weights = weights / jnp.sum(weights)
@@ -279,9 +295,12 @@ def em_nngm_gamp(
             dtype=jnp.float32,
         )
         prior_new = _nngm_em_update(prior, res.rhat, res.rvar)
-        xhat, _ = prior_new.estim(res.rhat, res.rvar)
+        xhat, xvar = prior_new.estim(res.rhat, res.rvar)
         resid = y - op.mv(xhat)
-        nv_new = jnp.maximum(jnp.mean(resid**2), 1e-10)
+        # include the propagated posterior variance (see em_bg_vamp note)
+        nv_new = jnp.maximum(
+            jnp.mean(resid**2) + jnp.mean(op.sq_mv(xvar)), 1e-10
+        )
         return (prior_new, nv_new), None
 
     (prior, noise_var), _ = jax.lax.scan(

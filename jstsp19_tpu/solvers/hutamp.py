@@ -49,6 +49,18 @@ def hutamp(
     ``delta`` weights the sum-to-one pseudo-band (larger = harder
     constraint).  ``noise_var`` defaults to a 100:1 SNR guess and is
     EM-refit from the residual between restarts.
+
+    Constraint handling note (round 5): the pseudo-band's endmember
+    column is NOT pinned at delta — it carries the same free NN prior as
+    the real bands — so during the bilinear fit the augmentation enforces
+    only that abundance ROWS share a common sum (any constant c with
+    a_col = delta/c fits the pseudo-band); the exact simplex projection
+    happens in the post-hoc row renormalization below.  This is a
+    deliberate softening of HUTAMP.m's pinned-column augmentation: a
+    pinned column needs a per-column prior override that BiG-AMP's
+    homogeneous prior interface here does not carry, and the
+    equal-row-sum + renormalize combination recovers the same factors on
+    the tested unmixing problems.
     """
     N, T = Y.shape
     R = n_materials

@@ -111,9 +111,9 @@ def pbigamp(
         # corrections bounded; the realization form diverges (the classic
         # bilinear-AMP instability the paper counters with adaptive
         # damping).
-        vp_bar = vb * jnp.einsum("mij,j->m", A2, c2) + vc * jnp.einsum(
-            "mij,i->m", A2, b2
-        )
+        # the precomputed |A|^2 marginals give the same sums at a
+        # factor Nb/Nc less work than full-tensor einsums (round 5)
+        vp_bar = vb * (A2_c @ c2) + vc * (A2_b @ b2)
         vp = jnp.maximum(vp_bar + vb * vc * A2_sum, var_floor)
         phat = zhat - shat * vp_bar
 
@@ -239,6 +239,15 @@ def em_pbigamp(
         )
         # EM of the sparse-c prior from the final pseudo-data
         prior_c = _bernoulli_gauss_em_update(prior_c, res.Rc, res.rvar_c)
+        # EM of the b prior's variance (the EMPBiGAMP.m b-hyperparameter
+        # learning the docstring advertises): posterior second moment of
+        # (b - mean) from the final pseudo-data — round 5, previously the
+        # (Rb, rvar_b) moments were plumbed through and then ignored
+        bhat, bvar = prior_b.estim(res.Rb, res.rvar_b)
+        var_new = jnp.maximum(
+            jnp.mean(jnp.abs(bhat - prior_b.mean0) ** 2 + bvar), 1e-8
+        )
+        prior_b = CAwgnPrior(prior_b.mean0, var_new)
     return EmPBigAmpResult(
         b=res.b, c=res.c, z=res.z, noise_var=nv, prior_c=prior_c
     )

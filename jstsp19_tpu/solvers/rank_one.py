@@ -19,7 +19,7 @@ with the pseudo-data rescaled by the tracked second-order statistics
 from __future__ import annotations
 
 import functools
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -51,7 +51,9 @@ class RankOneResult(NamedTuple):
     corrv: jnp.ndarray  # (nit,) predicted squared correlation of v
 
 
-@functools.partial(jax.jit, static_argnames=("nit", "lin_est", "norm_uv"))
+@functools.partial(
+    jax.jit, static_argnames=("nit", "lin_est", "norm_uv", "vvar_init")
+)
 def rank_one_fit(
     A: jnp.ndarray,
     estimu,
@@ -61,7 +63,7 @@ def rank_one_fit(
     nit: int = 10,
     lin_est: bool = False,
     norm_uv: bool = True,
-    vvar_init: float = 0.0,
+    vvar_init: Optional[float] = None,
     min_au: float = 0.01,
     min_av: float = 0.01,
 ) -> RankOneResult:
@@ -85,10 +87,17 @@ def rank_one_fit(
     if key is None:
         key = prng.experiment_key(0)
     v_init = jnp.full((n,), vmean0, A.dtype)
-    if vvar_init > 0:
-        v_init = v_init + jnp.sqrt(vvar_init) * jax.random.normal(
-            key, (n,), rdt
-        ).astype(A.dtype)
+    # rankOneFit.m seeds vhat RANDOMLY: a deterministic zero-mean init is
+    # an exact fixed point of the alternating MMSE recursion (u = v = 0
+    # forever, round 5).  vvar_init=None (default) seeds at the prior's
+    # own variance; pass 0.0 to force the deterministic mean init.
+    seed_var = jnp.real(vvar0) if vvar_init is None else (
+        vvar_init if vvar_init > 0 else None
+    )
+    if seed_var is not None:
+        v_init = v_init + jnp.sqrt(
+            jnp.asarray(seed_var, rdt)
+        ) * jax.random.normal(key, (n,), rdt).astype(A.dtype)
 
     eps = jnp.finfo(rdt).tiny
 

@@ -181,7 +181,15 @@ def em_turbo_gauss_markov_vamp(
         prec_post = 1.0 / kappa_new + obs_prec
         v_post = 1.0 / prec_post
         m_post = v_post * (eta_new / kappa_new + obs_prec * res.r1)
-        # EM: Yule-Walker on posterior moments
+        # EM: Yule-Walker on posterior MEANS — a mean-field approximation
+        # of the exact EM lag-1 statistic, which would add the smoother's
+        # posterior cross-covariance E[θ_t θ_{t-1}*] − m_t m_{t-1}* to the
+        # numerator (GaussMarkov.m's Kalman-smoother EM).  With only the
+        # factorized extrinsics carried here the cross term is
+        # unavailable; the approximation shrinks a_new toward 0 when
+        # v_post ≈ |m_post|² (low SNR), i.e. it UNDER-estimates temporal
+        # correlation — conservative, and the turbo iterations re-supply
+        # the correlation through the extrinsic pass each round.
         num = jnp.sum(jnp.real(m_post[1:] * jnp.conj(m_post[:-1])))
         den = jnp.sum(jnp.abs(m_post[:-1]) ** 2 + v_post[:-1])
         a_new = jnp.clip(num / jnp.maximum(den, 1e-12), 0.01, 0.999)
@@ -220,8 +228,8 @@ def turbo_mrf3d_vamp(
     slab_var,
     gamw,
     shape3d,
-    p01: float = 0.05,
-    p10: float = 0.3,
+    p01: float = 0.05,  # P(off->on) — turbo.py's convention, NOT
+    p10: float = 0.3,   # markov_fb's p01 = P(on->off) above!
     n_turbo: int = 5,
     nit: int = 30,
 ) -> TurboResult3D:
